@@ -1,0 +1,38 @@
+"""Test harness configuration.
+
+Mirrors the reference harness parametrization (test/conftest.py:1-18:
+--dtype × --model options) and runs JAX on a virtual 8-device CPU mesh so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4.4).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+ALL_DTYPES = ["f32", "q2_k", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
+
+
+def pytest_addoption(parser):
+    parser.addoption("--dtype", action="append", default=[],
+                     help="quant dtypes to test (default: all)")
+    parser.addoption("--model", action="append", default=[],
+                     help="model fixture names to test")
+
+
+def pytest_generate_tests(metafunc):
+    if "dtype" in metafunc.fixturenames:
+        dtypes = metafunc.config.getoption("dtype") or ALL_DTYPES
+        metafunc.parametrize("dtype", dtypes)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
