@@ -1,0 +1,169 @@
+"""KV cache: preallocated per-slot tensors with position metadata.
+
+TPU-native redesign of the reference's ring-buffer cell cache
+(llama_kv_cache, llama.cpp:1830-1874 and ops :2099-2535): instead of a shared
+cell pool with per-cell seq_id sets, each sequence owns a slot (batch row) of
+a statically-shaped (L, B, S, H_kv, D) tensor pair, and per-cell positions
+live in a (B, S) int32 array (-1 = empty). The attention mask is derived from
+positions exactly like the reference's KQ_mask (llama_set_inputs,
+llama.cpp:8523), so position-surgery features (context shift, self-extend)
+work the same way:
+
+- seq_rm   -> invalidate positions in a range             (llama.cpp:2321)
+- seq_cp   -> copy a slot's cells to another slot          (llama.cpp:2381)
+- seq_add  -> shift positions + re-rotate cached K (the reference's K-shift
+              graph, build_k_shift llama.cpp:5549)         (llama.cpp:2444)
+- seq_div  -> integer-divide positions + re-rotate K (self-extend)
+                                                            (llama.cpp:2489)
+- defrag   -> compact live cells to the front of the slot   (llama.cpp:2535)
+
+All ops are jit-compatible (static shapes, masked updates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+from tpulamm.ops.rope import RopeParams, apply_rope
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    k: jax.Array            # (L, B, S, H_kv, D) — roped keys
+    v: jax.Array            # (L, B, S, H_kv, D)
+    pos: jax.Array          # (B, S) int32, -1 = empty cell
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def create(n_layers: int, n_slots: int, n_ctx: int, n_kv_heads: int,
+               head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (n_layers, n_slots, n_ctx, n_kv_heads, head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            pos=jnp.full((n_slots, n_ctx), -1, jnp.int32),
+        )
+
+    @property
+    def n_ctx(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[1]
+
+    # -- queries -------------------------------------------------------------
+    def used(self) -> jnp.ndarray:
+        """(B,) number of live cells per slot."""
+        return jnp.sum(self.pos >= 0, axis=-1).astype(jnp.int32)
+
+    def max_pos(self) -> jnp.ndarray:
+        """(B,) maximum live position per slot (-1 if empty)."""
+        return jnp.max(self.pos, axis=-1)
+
+
+def _range_mask(pos: jnp.ndarray, slot: int | jnp.ndarray,
+                p0: int | jnp.ndarray, p1: int | jnp.ndarray) -> jnp.ndarray:
+    """(B, S) bool: cells of `slot` whose position is in [p0, p1)."""
+    n_slots = pos.shape[0]
+    slot_mask = jnp.arange(n_slots)[:, None] == slot
+    in_range = (pos >= p0) & (pos < p1) & (pos >= 0)
+    return slot_mask & in_range
+
+
+def seq_rm(cache: KVCache, slot, p0=0, p1=jnp.iinfo(jnp.int32).max) -> KVCache:
+    m = _range_mask(cache.pos, slot, p0, p1)
+    return replace(cache, pos=jnp.where(m, -1, cache.pos))
+
+
+def clear(cache: KVCache) -> KVCache:
+    return replace(cache, pos=jnp.full_like(cache.pos, -1))
+
+
+def seq_cp(cache: KVCache, src: int, dst: int) -> KVCache:
+    k = cache.k.at[:, dst].set(cache.k[:, src])
+    v = cache.v.at[:, dst].set(cache.v[:, src])
+    pos = cache.pos.at[dst].set(cache.pos[src])
+    return KVCache(k=k, v=v, pos=pos)
+
+
+def seq_keep(cache: KVCache, slot: int) -> KVCache:
+    """Invalidate every slot except `slot` (llama_kv_cache_seq_keep)."""
+    keep = jnp.arange(cache.n_slots)[:, None] == slot
+    return replace(cache, pos=jnp.where(keep, cache.pos, -1))
+
+
+def seq_add(cache: KVCache, slot, p0, p1, delta: int,
+            rope: RopeParams) -> KVCache:
+    """Shift positions in [p0,p1) by delta; re-rope cached K accordingly.
+
+    Equivalent to llama_kv_cache_seq_add + the deferred K-shift graph
+    (llama.cpp:2444-2487, :5549, applied at :9289). Cells whose new position
+    falls below 0 are removed, as in the reference.
+    """
+    m = _range_mask(cache.pos, slot, p0, p1)
+    new_pos = jnp.where(m, cache.pos + delta, cache.pos)
+    k = _apply_pos_change(cache, m, new_pos, rope)
+    new_pos = jnp.where(new_pos < 0, -1, new_pos)
+    return KVCache(k=k, v=cache.v, pos=new_pos)
+
+
+def seq_div(cache: KVCache, slot, p0, p1, d: int, rope: RopeParams) -> KVCache:
+    """Divide positions in [p0,p1) by d (self-extend grouped attention,
+    llama.cpp:2489-2522) and re-rope cached K."""
+    m = _range_mask(cache.pos, slot, p0, p1)
+    new_pos = jnp.where(m, cache.pos // d, cache.pos)
+    k = _apply_pos_change(cache, m, new_pos, rope)
+    return KVCache(k=k, v=cache.v, pos=new_pos)
+
+
+def _apply_pos_change(cache: KVCache, mask: jnp.ndarray,
+                      new_pos: jnp.ndarray, rope: RopeParams) -> jax.Array:
+    delta = jnp.where(mask, new_pos - cache.pos, 0)        # (B, S)
+    # rope by delta composes with the stored rotation; delta==0 is identity
+    k_shift = apply_rope(
+        cache.k.reshape(-1, *cache.k.shape[2:]),           # (L*B, S, H, D)
+        jnp.tile(delta, (cache.k.shape[0], 1)),            # (L*B, S)
+        rope,
+    ).reshape(cache.k.shape)
+    return jnp.where(mask[None, :, :, None, None], k_shift, cache.k)
+
+
+def defrag(cache: KVCache) -> KVCache:
+    """Compact live cells to the front of each slot, preserving order
+    (llama_kv_cache_defrag_internal, llama.cpp:9071 — ours is a gather)."""
+    s = cache.n_ctx
+    live = cache.pos >= 0                                   # (B, S)
+    # stable order: live cells first, keeping relative order
+    order = jnp.argsort(jnp.where(live, jnp.arange(s)[None, :], s + jnp.arange(s)[None, :]), axis=-1)
+    pos = jnp.take_along_axis(jnp.where(live, cache.pos, -1), order, axis=-1)
+    k = jnp.take_along_axis(cache.k, order[None, :, :, None, None], axis=2)
+    v = jnp.take_along_axis(cache.v, order[None, :, :, None, None], axis=2)
+    return KVCache(k=k, v=v, pos=pos)
+
+
+def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
+             v_new: jnp.ndarray, slots: jnp.ndarray,
+             cells: jnp.ndarray, positions: jnp.ndarray) -> KVCache:
+    """Store roped K / V for a ubatch (llm_build_kv_store equivalent).
+
+    k_new/v_new: (B, T, H_kv, D); slots: (B,) slot ids; cells: (B, T) cell
+    indices to write; positions: (B, T) token positions (-1 entries are
+    padding and are skipped via position -1 == empty).
+    """
+    b_idx = slots[:, None]
+    k = cache.k.at[layer, b_idx, cells].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[layer, b_idx, cells].set(v_new.astype(cache.v.dtype))
+    pos = cache.pos if layer != 0 else cache.pos.at[b_idx, cells].set(positions)
+    return KVCache(k=k, v=v, pos=pos)
