@@ -1,0 +1,61 @@
+"""Pallas fused dequant-matmul vs the jnp golden model (interpret mode on CPU).
+
+Analogue of test-backend-ops.cpp: each backend op is compared against the
+reference implementation on random tensors with an NMSE-style budget.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.ops.pallas_qmm import qmm_pallas
+from tpulamm.ops.qtensor import QTensor, dequant_mm
+from tpulamm.quant import formats
+
+QTYPES = {
+    "q4_0": GGMLType.Q4_0,
+    "q4_1": GGMLType.Q4_1,
+    "q5_0": GGMLType.Q5_0,
+    "q5_1": GGMLType.Q5_1,
+    "q8_0": GGMLType.Q8_0,
+    "q2_k": GGMLType.Q2_K,
+}
+
+N, K, M = 256, 512, 5
+
+
+def test_pallas_matches_ref(dtype, rng):
+    if dtype == "f32":
+        pytest.skip("dense matmul handled by XLA directly")
+    qtype = QTYPES[dtype]
+    w = (rng.normal(size=(N, K)) * 0.7).astype(np.float32)
+    raw = formats.quantize(w, qtype)
+    qt = QTensor.from_gguf_raw(raw, qtype, (N, K), layout="mm")
+    x = rng.normal(size=(M, K)).astype(np.float32)
+
+    expect = np.asarray(x @ np.asarray(dequant_mm(qt, jnp.float32)))
+    got = np.asarray(qmm_pallas(jnp.asarray(x), qt,
+                                compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, expect, rtol=1e-5,
+                               atol=1e-5 * np.abs(expect).max())
+
+    got_bf16 = np.asarray(qmm_pallas(jnp.asarray(x), qt,
+                                     compute_dtype=jnp.bfloat16,
+                                     interpret=True))
+    nmse = np.mean((got_bf16 - expect) ** 2) / np.mean(expect ** 2)
+    assert nmse < 1e-4, f"{dtype} bf16 nmse {nmse}"
+
+
+def test_pallas_tn128(rng):
+    qtype = GGMLType.Q4_0
+    n = 128
+    w = rng.normal(size=(n, K)).astype(np.float32)
+    raw = formats.quantize(w, qtype)
+    qt = QTensor.from_gguf_raw(raw, qtype, (n, K), layout="mm")
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    expect = np.asarray(x @ np.asarray(dequant_mm(qt, jnp.float32)))
+    got = np.asarray(qmm_pallas(jnp.asarray(x), qt, compute_dtype=jnp.float32,
+                                interpret=True))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-4)
