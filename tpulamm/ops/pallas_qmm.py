@@ -43,45 +43,116 @@ PLANE_ORDER: dict[GGMLType, tuple[str, ...]] = {
 PLANE_ROWS = {"qs": 128, "qh": 32, "q2": 64, "q8": 256}
 
 
-def _unpack_values(qtype: GGMLType, planes: dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """VMEM tiles -> (TK, TN) f32 integer values. Constant shifts only."""
+def _unpack_values(qtype: GGMLType, planes: dict[str, jnp.ndarray],
+                   kc: int, tn: int, idtype=jnp.int32) -> jnp.ndarray:
+    """VMEM tiles covering kc 256-element K-chunks -> (kc*256, TN) values.
+
+    Constant shifts only; the per-chunk interleave is a sublane concat.
+    idtype: integer width for the unpack arithmetic (int32 = reference path).
+    """
     spec = SPECS[qtype]
     if spec.bits in (4, 5):
-        v = planes["qs"][:].astype(jnp.int32)            # (128, TN)
-        vals = jnp.concatenate([v & 0xF, (v >> 4) & 0xF], axis=0)
+        v = planes["qs"][:].astype(idtype).reshape(kc, 128, tn)
+        vals = jnp.concatenate([v & 0xF, (v >> 4) & 0xF], axis=1)
         if spec.bits == 5:
-            h = planes["qh"][:].astype(jnp.int32)        # (32, TN)
-            hb = jnp.concatenate([(h >> t) & 1 for t in range(8)], axis=0)
+            h = planes["qh"][:].astype(idtype).reshape(kc, 32, tn)
+            hb = jnp.concatenate([(h >> t) & 1 for t in range(8)], axis=1)
             vals = vals | (hb << 4)
-        return vals.astype(jnp.float32)
+        return vals.reshape(kc * 256, tn)
     if spec.bits == 2:
-        v = planes["q2"][:].astype(jnp.int32)            # (64, TN)
-        vals = jnp.concatenate([(v >> (2 * t)) & 3 for t in range(4)], axis=0)
-        return vals.astype(jnp.float32)
+        v = planes["q2"][:].astype(idtype).reshape(kc, 64, tn)
+        vals = jnp.concatenate([(v >> (2 * t)) & 3 for t in range(4)], axis=1)
+        return vals.reshape(kc * 256, tn)
     if spec.bits == 8:
-        return planes["q8"][:].astype(jnp.float32)       # (256, TN)
+        return planes["q8"][:]                           # (kc*256, TN) int8
     raise ValueError(qtype)
 
 
-def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, n_k: int):
+def _unpack_values_i8(qtype: GGMLType, planes: dict[str, jnp.ndarray],
+                      kc: int, tn: int) -> jnp.ndarray:
+    """Fast unpack -> (kc*256, TN) int8 values, full VPU register density.
+
+    Mosaic cannot shift narrow integer vectors, so per-byte shifts are done in
+    the packed-int32 domain: bitcast 4 bytes -> i32, shift, mask with a
+    replicated per-byte constant, bitcast back. Byte positions are untouched
+    by construction, so the (unknown) sublane packing order of the bitcast
+    cancels out. This is the TPU analogue of the reference's LASX nibble
+    tricks (lamm_simd_loongarch.h load_quants :267, spread_bits :220).
+    """
+    spec = SPECS[qtype]
+
+    def per_byte(v_u8, shift: int, byte_mask: int, post_shift: int = 0):
+        w = pltpu.bitcast(v_u8, jnp.int32)
+        w = (w >> shift) & jnp.int32(byte_mask * 0x01010101)
+        if post_shift:
+            w = w << post_shift
+        return pltpu.bitcast(w, jnp.int8)
+
+    if spec.bits in (4, 5):
+        v = planes["qs"][:]                              # (kc*128, TN) u8
+        lo = (v & 0xF).astype(jnp.int8).reshape(kc, 128, tn)
+        hi = per_byte(v, 4, 0x0F).reshape(kc, 128, tn)
+        vals = jnp.concatenate([lo, hi], axis=1)         # (kc, 256, TN) i8
+        vals = vals.reshape(kc * 256, tn)
+        if spec.bits == 5:
+            h = planes["qh"][:]                          # (kc*32, TN) u8
+            hb = jnp.concatenate(
+                [per_byte(h, t, 0x01, 4).reshape(kc, 32, tn)
+                 for t in range(8)], axis=1)             # bit at position 4
+            hb = hb.reshape(kc * 256, tn)
+            # i8 arithmetic is unsupported; OR the disjoint bit planes in the
+            # packed-i32 domain
+            vals = pltpu.bitcast(
+                pltpu.bitcast(vals, jnp.int32) | pltpu.bitcast(hb, jnp.int32),
+                jnp.int8)
+        return vals.reshape(kc * 256, tn)
+    if spec.bits == 2:
+        v = planes["q2"][:]                              # (kc*64, TN) u8
+        vals = jnp.concatenate(
+            [per_byte(v, 2 * t, 0x03).reshape(kc, 64, tn) for t in range(4)],
+            axis=1)
+        return vals.reshape(kc * 256, tn)
+    if spec.bits == 8:
+        return planes["q8"][:]
+    raise ValueError(qtype)
+
+
+def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int):
     spec = SPECS[qtype]
     names = PLANE_ORDER[qtype]
-    groups = TK // spec.group
+    tk = kc * TK
+    groups = tk // spec.group
+
+    fast = compute_dtype == jnp.bfloat16
 
     def kernel(x_ref, *refs):
         plane_refs = dict(zip(names, refs[:-1]))
         out_ref = refs[-1]
         kstep = pl.program_id(1)
 
-        vals = _unpack_values(qtype, plane_refs)          # (TK, TN) f32
-        scales = plane_refs["scales"][:]                  # (groups, TN) f32
-        w = vals.reshape(groups, spec.group, tn)
-        w = (w - spec.zero) * scales[:, None, :]
-        if spec.has_min:
-            w = w + plane_refs["mins"][:][:, None, :]
-        w = w.reshape(TK, tn).astype(compute_dtype)
+        if fast:
+            # int8-density unpack; single widening convert; fold the constant
+            # zero-point into the per-group offset so dequant is one FMA:
+            # w = q*s + (m - zero*s)
+            vals = _unpack_values_i8(qtype, plane_refs, kc, tn)
+            q = vals.astype(compute_dtype).reshape(groups, spec.group, tn)
+            s = plane_refs["scales"][:]                  # (groups, TN) f32
+            off = -spec.zero * s
+            if spec.has_min:
+                off = off + plane_refs["mins"][:]
+            w = q * s.astype(compute_dtype)[:, None, :] \
+                + off.astype(compute_dtype)[:, None, :]
+            w = w.reshape(tk, tn)
+        else:
+            vals = _unpack_values(qtype, plane_refs, kc, tn, jnp.int32)
+            scales = plane_refs["scales"][:]
+            w = vals.astype(jnp.float32).reshape(groups, spec.group, tn)
+            w = (w - spec.zero) * scales[:, None, :]
+            if spec.has_min:
+                w = w + plane_refs["mins"][:][:, None, :]
+            w = w.reshape(tk, tn).astype(compute_dtype)
 
-        x = x_ref[:].astype(compute_dtype)                # (M, TK)
+        x = x_ref[:].astype(compute_dtype)                # (M, tk)
         part = jnp.dot(x, w, preferred_element_type=jnp.float32)
 
         @pl.when(kstep == 0)
@@ -96,21 +167,28 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, n_k: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("qtype", "n", "k", "tn", "compute_dtype",
-                                    "interpret"))
+                   static_argnames=("qtype", "n", "k", "tn", "kc",
+                                    "compute_dtype", "interpret"))
 def _qmm_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int, tn: int,
-              compute_dtype, interpret: bool):
+              kc: int, compute_dtype, interpret: bool):
+    # pad the batch dim to the sublane quantum inside the jit so a decode
+    # step costs a single dispatch
+    quantum = 16 if x.dtype == jnp.bfloat16 else 8
+    m_pad = max(quantum, -(-x.shape[0] // quantum) * quantum)
+    if m_pad != x.shape[0]:
+        x = jnp.pad(x, ((0, m_pad - x.shape[0]), (0, 0)))
     m = x.shape[0]
     spec = SPECS[qtype]
     names = PLANE_ORDER[qtype]
-    groups = TK // spec.group
-    n_k = k // TK
+    tk = kc * TK
+    groups = tk // spec.group
+    n_k = k // tk
 
-    in_specs = [pl.BlockSpec((m, TK), lambda i, j: (0, j),
+    in_specs = [pl.BlockSpec((m, tk), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)]
     for name in names:
         if name in PLANE_ROWS:
-            rows = PLANE_ROWS[name]
+            rows = PLANE_ROWS[name] * kc
         else:  # scales / mins
             rows = groups
         in_specs.append(pl.BlockSpec((rows, tn), lambda i, j: (j, i),
@@ -122,11 +200,11 @@ def _qmm_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int, tn: int,
     qbytes = sum(p.size * p.dtype.itemsize for p in planes.values())
     cost = pl.CostEstimate(
         flops=2 * m * k * n,
-        bytes_accessed=qbytes + m * k * 4 + m * n * 4,
+        bytes_accessed=qbytes + m * k * x.dtype.itemsize + m * n * 4,
         transcendentals=0,
     )
 
-    kernel = _make_kernel(qtype, compute_dtype, tn, n_k)
+    kernel = _make_kernel(qtype, compute_dtype, tn, kc)
     return pl.pallas_call(
         kernel,
         grid=(n // tn, n_k),
@@ -142,19 +220,33 @@ def _qmm_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int, tn: int,
 
 
 def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
-               tn: int | None = None, interpret: bool = False) -> jnp.ndarray:
-    """x: (M, K); qt: mm-layout QTensor (N, K) -> (M, N) f32."""
+               tn: int | None = None, kc: int | None = None,
+               interpret: bool = False) -> jnp.ndarray:
+    """x: (M, K); qt: mm-layout QTensor (N, K) -> (M, N) f32.
+
+    tn: output tile width; kc: number of 256-element K-chunks per grid step.
+    """
     n, k = qt.shape
     assert k % TK == 0, f"K={k} must be a multiple of {TK}"
     assert n % 128 == 0, f"N={n} must be a multiple of 128"
-    if tn is None:
-        tn = 256 if n % 256 == 0 else 128
     m = x.shape[0]
-    # pad the batch dim to the f32 sublane quantum
-    m_pad = max(8, -(-m // 8) * 8)
-    if m_pad != m:
-        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    out = _qmm_call(x.astype(jnp.float32), qt.planes, qtype=qt.qtype, n=n,
-                    k=k, tn=tn, compute_dtype=jnp.dtype(compute_dtype),
+    if tn is None:
+        # widest tile wins across batch sizes on v5e (measured: M=1..128)
+        for cand in (1024, 512, 256, 128):
+            if n % cand == 0:
+                tn = cand
+                break
+        else:
+            raise ValueError(f"N={n} not tileable")
+    if kc is None:
+        kc = 1
+        for cand in (4, 2):
+            if (k // TK) % cand == 0:
+                kc = cand
+                break
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        x = x.astype(jnp.float32)
+    out = _qmm_call(x, qt.planes, qtype=qt.qtype, n=n, k=k, tn=tn, kc=kc,
+                    compute_dtype=jnp.dtype(compute_dtype),
                     interpret=interpret)
     return out[:m]
