@@ -1,0 +1,129 @@
+"""Engine integration tests: generation loop, KV management, context shift.
+
+Uses a tiny converted HF model (same fixture approach as test_llama_forward).
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("transformers")
+import torch
+from transformers import LlamaConfig as HFLlamaConfig
+from transformers import LlamaForCausalLM
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.runtime.engine import Engine
+from tpulamm.runtime.sampling import Sampler, SamplingParams
+from tpulamm.tools.convert_hf import convert_hf_llama
+from tpulamm.tokenizer.spm import TOKEN_TYPE_BYTE, TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL
+
+VOCAB = 512
+
+
+def make_vocab_md():
+    tokens = ["<unk>", "<s>", "</s>"]
+    ttypes = [2, TOKEN_TYPE_CONTROL, TOKEN_TYPE_CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        ttypes.append(TOKEN_TYPE_BYTE)
+        scores.append(0.0)
+    words = ["▁the", "▁cat", "▁sat", "▁on", "▁mat", "at", "he", "▁a", "▁",
+             "t", "h", "e", "c", "s", "o", "n", "m", "a"]
+    for i, w in enumerate(words):
+        tokens.append(w)
+        ttypes.append(TOKEN_TYPE_NORMAL)
+        scores.append(-float(i + 1))
+    while len(tokens) < VOCAB:
+        tokens.append(f"<extra_{len(tokens)}>")
+        ttypes.append(TOKEN_TYPE_NORMAL)
+        scores.append(-1000.0)
+    return {"tokens": tokens, "scores": scores, "token_type": ttypes,
+            "model": "llama", "bos": 1, "eos": 2}
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    torch.manual_seed(1)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+    return path
+
+
+def test_generate_greedy(model_path):
+    eng = Engine(model_path, n_ctx=64)
+    ids, text = eng.generate("the cat", n_predict=8,
+                             sampling=SamplingParams(temp=0.0),
+                             stop_on_eos=False)
+    assert len(ids) == 8
+    assert all(0 <= t < VOCAB for t in ids)
+
+
+def test_generate_deterministic_with_seed(model_path):
+    eng = Engine(model_path, n_ctx=64)
+    s = SamplingParams(temp=0.8, seed=42)
+    ids1, _ = eng.generate("the cat", n_predict=6, sampling=s,
+                           stop_on_eos=False)
+    eng.reset_slot(0)
+    ids2, _ = eng.generate("the cat", n_predict=6,
+                           sampling=SamplingParams(temp=0.8, seed=42),
+                           stop_on_eos=False)
+    assert ids1 == ids2
+
+
+def test_context_shift(model_path):
+    eng = Engine(model_path, n_ctx=16)
+    ids, _ = eng.generate("the cat sat on", n_predict=24,
+                          sampling=SamplingParams(temp=0.0),
+                          stop_on_eos=False)
+    # generation continues past the context limit via context shifting
+    assert len(ids) == 24
+    assert (eng.cell_pos[0] >= 0).sum() <= 16
+
+
+def test_self_extend(model_path):
+    eng = Engine(model_path, n_ctx=32, grp_attn_n=2, grp_attn_w=8)
+    ids, _ = eng.generate("the cat", n_predict=16,
+                          sampling=SamplingParams(temp=0.0),
+                          stop_on_eos=False)
+    assert len(ids) == 16
+
+
+def test_prefill_matches_decode(model_path):
+    """Greedy continuation is identical whether the prompt was prefilled in
+    one ubatch or in several (ubatch splitting correctness)."""
+    eng1 = Engine(model_path, n_ctx=64, n_ubatch=512)
+    eng2 = Engine(model_path, n_ctx=64, n_ubatch=4)
+    p = "the cat sat on the mat"
+    ids1, _ = eng1.generate(p, n_predict=6, sampling=SamplingParams(temp=0.0),
+                            stop_on_eos=False)
+    ids2, _ = eng2.generate(p, n_predict=6, sampling=SamplingParams(temp=0.0),
+                            stop_on_eos=False)
+    assert ids1 == ids2
+
+
+def test_sampling_functions():
+    from tpulamm.runtime import sampling as S
+    logits = np.array([1.0, 3.0, 2.0, -1.0, 0.5], np.float32)
+    assert np.isneginf(S.top_k(logits, 2)[[0, 3, 4]]).all()
+    tp = S.top_p(logits, 0.6)
+    assert np.isfinite(tp[1])
+    mp = S.min_p(logits, 0.5)
+    assert np.isfinite(mp[1]) and np.isneginf(mp[3])
+    pen = S.apply_penalties(logits, [1, 1, 2], 1.5, 0.1, 0.1)
+    assert pen[1] < logits[1] and pen[2] < logits[2] and pen[0] == logits[0]
+    # mirostat smoke
+    smp = Sampler(SamplingParams(mirostat=2, seed=7), 5)
+    toks = [smp.sample(logits) for _ in range(8)]
+    assert all(0 <= t < 5 for t in toks)
+    smp1 = Sampler(SamplingParams(mirostat=1, seed=7), 5)
+    toks = [smp1.sample(logits) for _ in range(8)]
+    assert all(0 <= t < 5 for t in toks)

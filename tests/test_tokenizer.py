@@ -1,0 +1,92 @@
+"""SPM tokenizer semantics tests (vs llm_tokenizer_spm behavior)."""
+
+import numpy as np
+import pytest
+
+from tpulamm.tokenizer.spm import (SPMTokenizer, Vocab, TOKEN_TYPE_BYTE,
+                                   TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL,
+                                   TOKEN_TYPE_UNKNOWN)
+
+
+def make_vocab():
+    # a tiny llama-style vocab: specials, bytes, then pieces with scores
+    tokens = ["<unk>", "<s>", "</s>"]
+    ttypes = [TOKEN_TYPE_UNKNOWN, TOKEN_TYPE_CONTROL, TOKEN_TYPE_CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        ttypes.append(TOKEN_TYPE_BYTE)
+        scores.append(0.0)
+    pieces = {
+        "▁": -2.0, "a": -3.0, "b": -3.5, "c": -4.0,
+        "ab": -1.0, "abc": -0.5, "▁ab": -0.9, "▁h": -3.0, "i": -3.2,
+        "▁hi": -1.5, "hello": -2.5, "▁hello": -1.2,
+    }
+    for t, s in pieces.items():
+        tokens.append(t)
+        ttypes.append(TOKEN_TYPE_NORMAL)
+        scores.append(s)
+    return Vocab(tokens=tokens, scores=scores, token_types=ttypes,
+                 bos_id=1, eos_id=2, unk_id=0)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SPMTokenizer(make_vocab())
+
+
+def ids_to_text(tok, ids):
+    return [tok.vocab.tokens[i] for i in ids]
+
+
+def test_greedy_merge_order(tok):
+    # "abc" should merge to the single best-scoring piece "abc"
+    ids = tok.encode("abc", add_bos=False)
+    # leading space prefix -> "▁abc" -> no such piece, so best split
+    names = ids_to_text(tok, ids)
+    assert names == ["▁", "abc"]
+
+
+def test_bos_and_space_prefix(tok):
+    ids = tok.encode("hi")
+    names = ids_to_text(tok, ids)
+    assert names[0] == "<s>"
+    assert names[1] == "▁hi"
+
+
+def test_byte_fallback(tok):
+    ids = tok.encode("q", add_bos=False)  # 'q' not in vocab
+    names = ids_to_text(tok, ids)
+    assert names[0] == "▁"
+    assert names[1] == "<0x71>"  # 'q'
+
+
+def test_utf8_byte_fallback_roundtrip(tok):
+    text = "héllo"  # é not in vocab -> two utf-8 bytes
+    ids = tok.encode(text, add_bos=False)
+    assert tok.decode(ids) == " " + text
+
+
+def test_special_token_partition(tok):
+    ids = tok.encode("hi</s>hi", add_bos=False, special=True)
+    names = ids_to_text(tok, ids)
+    assert "</s>" in names
+    i = names.index("</s>")
+    assert names[i - 1] != "</s>" and len(names) >= 3
+
+
+def test_specials_not_matched_without_flag(tok):
+    ids = tok.encode("</s>", add_bos=False, special=False)
+    names = ids_to_text(tok, ids)
+    assert "</s>" not in names  # literal text, byte-fallback pieces
+
+
+def test_empty(tok):
+    assert tok.encode("", add_bos=False) == []
+    assert tok.encode("", add_bos=True) == [1]
+
+
+def test_decode_pieces(tok):
+    # control tokens render empty unless special=True
+    assert tok.decode([1, tok.token_to_id["▁hi"]]) == " hi"
+    assert tok.decode([1], special=True) == "<s>"

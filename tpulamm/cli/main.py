@@ -1,0 +1,114 @@
+"""Text-generation CLI — the `main` tool equivalent (examples/main/main.cpp).
+
+Flag names mirror gpt_params / common.cpp's parser where applicable so users
+of the reference can switch directly:
+  -m/--model, -p/--prompt, -n/--n-predict, -c/--ctx-size, -b/--batch-size,
+  -s/--seed, --temp, --top-k, --top-p, --min-p, --tfs, --typical,
+  --repeat-penalty, --repeat-last-n, --frequency-penalty, --presence-penalty,
+  --mirostat, --mirostat-lr, --mirostat-ent, --ignore-eos, --grp-attn-n,
+  --grp-attn-w, -i/--interactive, --color, --samplers
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpulamm",
+        description="TPU-native GGUF text generation (llama.cpp `main` parity)")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-p", "--prompt", default="")
+    p.add_argument("-f", "--file", help="read prompt from file")
+    p.add_argument("-n", "--n-predict", type=int, default=128)
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("-b", "--batch-size", type=int, default=512)
+    p.add_argument("-s", "--seed", type=int, default=-1)
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="accepted for reference-CLI compatibility (XLA owns threading)")
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--min-p", type=float, default=0.05)
+    p.add_argument("--tfs", type=float, default=1.0)
+    p.add_argument("--typical", type=float, default=1.0)
+    p.add_argument("--repeat-penalty", type=float, default=1.1)
+    p.add_argument("--repeat-last-n", type=int, default=64)
+    p.add_argument("--frequency-penalty", type=float, default=0.0)
+    p.add_argument("--presence-penalty", type=float, default=0.0)
+    p.add_argument("--mirostat", type=int, default=0)
+    p.add_argument("--mirostat-lr", type=float, default=0.1)
+    p.add_argument("--mirostat-ent", type=float, default=5.0)
+    p.add_argument("--samplers", default="kfypmt")
+    p.add_argument("--ignore-eos", action="store_true")
+    p.add_argument("--grp-attn-n", type=int, default=1)
+    p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--compute-dtype", default=None,
+                   choices=[None, "bfloat16", "float32"])
+    p.add_argument("--mlock", action="store_true",
+                   help="accepted for reference-CLI compatibility (weights live in HBM)")
+    p.add_argument("--no-display-prompt", action="store_true")
+    p.add_argument("-i", "--interactive", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tpulamm.runtime.engine import Engine
+    from tpulamm.runtime.sampling import SamplingParams
+
+    prompt = args.prompt
+    if args.file:
+        with open(args.file) as f:
+            prompt = f.read()
+
+    engine = Engine(args.model, n_ctx=args.ctx_size, n_ubatch=args.batch_size,
+                    compute_dtype=args.compute_dtype,
+                    grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w)
+
+    sampling = SamplingParams(
+        seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        tfs_z=args.tfs, typical_p=args.typical,
+        penalty_repeat=args.repeat_penalty, penalty_last_n=args.repeat_last_n,
+        penalty_freq=args.frequency_penalty,
+        penalty_present=args.presence_penalty,
+        mirostat=args.mirostat, mirostat_eta=args.mirostat_lr,
+        mirostat_tau=args.mirostat_ent,
+        samplers_sequence=args.samplers, ignore_eos=args.ignore_eos,
+    )
+
+    def run_once(text: str):
+        if not args.no_display_prompt:
+            sys.stdout.write(text)
+            sys.stdout.flush()
+        engine.generate(text, n_predict=args.n_predict, sampling=sampling,
+                        stream=lambda piece: (sys.stdout.write(piece),
+                                              sys.stdout.flush()))
+        sys.stdout.write("\n")
+
+    if args.interactive:
+        print("== interactive mode; empty line or Ctrl-D to exit ==",
+              file=sys.stderr)
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            if not line:
+                break
+            run_once(line)
+            engine.reset_slot(0)
+    else:
+        run_once(prompt)
+
+    print("\n" + engine.timings.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

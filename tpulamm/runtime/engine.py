@@ -1,0 +1,269 @@
+"""Decode engine: prefill/decode steps over the jitted model forward.
+
+This is the TPU-native equivalent of llama_decode_internal + the generation
+loop of examples/main (llama.cpp:8770-9070, main.cpp:120-956):
+
+- prompts are prefilled in ubatches whose length is padded to a small set of
+  buckets (powers of two) so jax.jit compiles a handful of shapes once;
+  padding rows carry position -1, which masks them everywhere
+- decode is a single (B, 1) step; the KV cache is donated to the jit so
+  updates are in-place in HBM
+- context shifting (main.cpp:540-573) and self-extend grouped attention
+  (main.cpp:575-598) are implemented with the kvcache position-surgery ops
+- per-phase timings mirror llama_print_timings (llama.h:949)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpulamm.models.config import ModelConfig
+from tpulamm.models.llama import forward
+from tpulamm.models.loader import load_model
+from tpulamm.runtime import kvcache as kv
+from tpulamm.runtime.kvcache import KVCache
+from tpulamm.runtime.sampling import Sampler, SamplingParams
+from tpulamm.tokenizer.spm import build_tokenizer
+
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@dataclass
+class Timings:
+    t_load: float = 0.0
+    t_sample: float = 0.0
+    n_sample: int = 0
+    t_prefill: float = 0.0
+    n_prefill: int = 0
+    t_eval: float = 0.0
+    n_eval: int = 0
+
+    def report(self) -> str:
+        lines = []
+        lines.append(f"load time = {self.t_load * 1e3:10.2f} ms")
+        if self.n_sample:
+            lines.append(
+                f"sample time = {self.t_sample * 1e3:10.2f} ms / "
+                f"{self.n_sample:5d} runs ("
+                f"{self.t_sample * 1e3 / self.n_sample:8.2f} ms per token, "
+                f"{self.n_sample / max(self.t_sample, 1e-9):8.2f} tokens per second)")
+        if self.n_prefill:
+            lines.append(
+                f"prompt eval time = {self.t_prefill * 1e3:10.2f} ms / "
+                f"{self.n_prefill:5d} tokens ("
+                f"{self.t_prefill * 1e3 / self.n_prefill:8.2f} ms per token, "
+                f"{self.n_prefill / max(self.t_prefill, 1e-9):8.2f} tokens per second)")
+        if self.n_eval:
+            lines.append(
+                f"eval time = {self.t_eval * 1e3:10.2f} ms / "
+                f"{self.n_eval:5d} runs ("
+                f"{self.t_eval * 1e3 / self.n_eval:8.2f} ms per token, "
+                f"{self.n_eval / max(self.t_eval, 1e-9):8.2f} tokens per second)")
+        return "\n".join(lines)
+
+
+class Engine:
+    def __init__(self, model_path: str, *, n_ctx: int = 2048,
+                 n_slots: int = 1, n_ubatch: int = 512,
+                 compute_dtype: str | None = None, kv_dtype=jnp.bfloat16,
+                 grp_attn_n: int = 1, grp_attn_w: int = 512):
+        t0 = time.perf_counter()
+        self.cfg, self.params, self.metadata = load_model(
+            model_path, compute_dtype=compute_dtype)
+        self.tokenizer = (build_tokenizer(self.metadata)
+                          if "tokenizer.ggml.tokens" in self.metadata else None)
+        self.n_ctx = n_ctx
+        self.n_slots = n_slots
+        self.n_ubatch = n_ubatch
+        self.grp_attn_n = grp_attn_n
+        self.grp_attn_w = grp_attn_w
+        # cell n_ctx is a trash cell: ubatch padding rows write their K/V
+        # there (with position -1) so they never clobber live cells
+        self.cache = KVCache.create(self.cfg.n_layers, n_slots, n_ctx + 1,
+                                    self.cfg.n_kv_heads, self.cfg.head_dim,
+                                    dtype=kv_dtype)
+        # host-side per-slot state (reference: llama_kv_cache cells/head);
+        # cell_pos mirrors the device-side cache.pos so cell allocation
+        # (llama_kv_cache_find_slot, llama.cpp:2207) never needs a device sync
+        self.n_past = np.zeros(n_slots, np.int64)    # next token position
+        self.cell_pos = np.full((n_slots, n_ctx), -1, np.int64)
+        self.ga_i = np.zeros(n_slots, np.int64)      # self-extend group index
+        self.timings = Timings()
+
+        cfg = self.cfg
+
+        def step(params, tokens, positions, cache, slots, cells):
+            return forward(params, cfg, tokens, positions, cache, slots, cells)
+
+        self._step = jax.jit(step, donate_argnums=(3,))
+        # position-surgery ops jitted once; p0/p1/delta are traced scalars so
+        # repeated shifts don't recompile
+        self._jit_seq_rm = jax.jit(kv.seq_rm, donate_argnums=(0,))
+        self._jit_seq_add = jax.jit(kv.seq_add, static_argnums=(5,),
+                                    donate_argnums=(0,))
+        self._jit_seq_div = jax.jit(kv.seq_div, static_argnums=(5,),
+                                    donate_argnums=(0,))
+        self.timings.t_load = time.perf_counter() - t0
+
+    # -- low-level ubatch execution ------------------------------------------
+    def _run(self, slot: int, tokens: np.ndarray, positions: np.ndarray,
+             cells: np.ndarray) -> np.ndarray:
+        """Run one ubatch for one slot. tokens/positions/cells: (T,)."""
+        t = len(tokens)
+        bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
+        pad = bucket - t
+        tok = np.zeros(bucket, np.int32)
+        tok[:t] = tokens
+        pos = np.full(bucket, -1, np.int32)
+        pos[:t] = positions
+        cel = np.full(bucket, self.n_ctx, np.int32)  # pads -> trash cell
+        cel[:t] = cells
+        logits, self.cache = self._step(
+            self.params,
+            jnp.asarray(tok)[None, :],
+            jnp.asarray(pos)[None, :],
+            self.cache,
+            jnp.full((1,), slot, jnp.int32),
+            jnp.asarray(cel)[None, :],
+        )
+        return np.asarray(logits[0, :t])
+
+    def _cells_for(self, slot: int, n: int, positions: np.ndarray) -> np.ndarray:
+        """Allocate n free cells (host mirror of llama_kv_cache_find_slot)."""
+        free = np.flatnonzero(self.cell_pos[slot] < 0)
+        if len(free) < n:
+            raise RuntimeError(
+                f"KV cache full for slot {slot}: need {n}, have {len(free)} "
+                f"free of {self.n_ctx} (context shift should have freed space)")
+        cells = free[:n]
+        self.cell_pos[slot, cells] = positions
+        return cells.astype(np.int32)
+
+    # -- public API ------------------------------------------------------------
+    def reset_slot(self, slot: int):
+        self.seq_rm(slot)
+        self.n_past[slot] = 0
+        self.cell_pos[slot] = -1
+        self.ga_i[slot] = 0
+
+    def prefill(self, slot: int, tokens: list[int],
+                logits_all: bool = False) -> np.ndarray:
+        """Feed prompt tokens; returns logits of the final ubatch (or all)."""
+        t0 = time.perf_counter()
+        out = []
+        toks = np.asarray(tokens, np.int32)
+        for off in range(0, len(toks), self.n_ubatch):
+            chunk = toks[off:off + self.n_ubatch]
+            pos = self.n_past[slot] + np.arange(len(chunk))
+            cells = self._cells_for(slot, len(chunk), pos)
+            logits = self._run(slot, chunk, pos.astype(np.int32), cells)
+            self.n_past[slot] += len(chunk)
+            out.append(logits if logits_all else logits[-1:])
+        self.timings.t_prefill += time.perf_counter() - t0
+        self.timings.n_prefill += len(toks)
+        return np.concatenate(out) if logits_all else out[-1][0]
+
+    def decode_one(self, slot: int, token: int) -> np.ndarray:
+        """One decode step; returns (vocab,) logits."""
+        t0 = time.perf_counter()
+        self._maybe_shift(slot)
+        pos = np.array([self.n_past[slot]], np.int32)
+        cells = self._cells_for(slot, 1, pos)
+        logits = self._run(slot, np.array([token], np.int32), pos, cells)
+        self.n_past[slot] += 1
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += 1
+        return logits[0]
+
+    # -- position surgery (device op + host cell_pos mirror) ------------------
+    def seq_rm(self, slot: int, p0: int = 0, p1: int = 2**31 - 1):
+        self.cache = self._jit_seq_rm(self.cache, jnp.int32(slot),
+                                      jnp.int32(p0), jnp.int32(p1))
+        cp = self.cell_pos[slot]
+        cp[(cp >= p0) & (cp < p1)] = -1
+
+    def seq_add(self, slot: int, p0: int, p1: int, delta: int):
+        self.cache = self._jit_seq_add(self.cache, jnp.int32(slot),
+                                       jnp.int32(p0), jnp.int32(p1),
+                                       jnp.int32(delta), self.cfg.rope)
+        cp = self.cell_pos[slot]
+        m = (cp >= p0) & (cp < p1)
+        cp[m] += delta
+        cp[m & (cp < 0)] = -1
+
+    def seq_div(self, slot: int, p0: int, p1: int, d: int):
+        self.cache = self._jit_seq_div(self.cache, jnp.int32(slot),
+                                       jnp.int32(p0), jnp.int32(p1),
+                                       jnp.int32(d), self.cfg.rope)
+        cp = self.cell_pos[slot]
+        m = (cp >= p0) & (cp < p1)
+        cp[m] //= d
+
+    # -- context management (main.cpp:540-598) --------------------------------
+    def _maybe_shift(self, slot: int, n_keep: int = 4):
+        if self.grp_attn_n > 1:
+            self._self_extend(slot)
+            return
+        if self.n_past[slot] + 1 <= self.n_ctx:
+            return
+        # context shift: drop half of the non-kept tokens, shift the rest
+        n_left = int(self.n_past[slot]) - n_keep
+        n_discard = n_left // 2
+        self.seq_rm(slot, n_keep, n_keep + n_discard)
+        self.seq_add(slot, n_keep + n_discard, int(self.n_past[slot]),
+                     -n_discard)
+        self.n_past[slot] -= n_discard
+
+    def _self_extend(self, slot: int):
+        """Self-extend grouped attention position surgery (main.cpp:575-598)."""
+        ga_n, ga_w = self.grp_attn_n, self.grp_attn_w
+        while self.n_past[slot] >= self.ga_i[slot] + ga_w:
+            ib = int(self.ga_i[slot] / ga_w)
+            bd = (ga_w // ga_n) * (ga_n - 1)
+            dd = (ga_w // ga_n) - ib * bd - ga_w
+            i, np_ = int(self.ga_i[slot]), int(self.n_past[slot])
+            self.seq_add(slot, i, np_, ib * bd)
+            self.seq_div(slot, i + ib * bd, i + ib * bd + ga_w, ga_n)
+            self.seq_add(slot, i + ib * bd + ga_w, np_ + ib * bd, dd)
+            self.n_past[slot] += bd + dd
+            self.ga_i[slot] += ga_w // ga_n
+
+    # -- generation -------------------------------------------------------------
+    def generate(self, prompt: str | list[int], *, n_predict: int = 128,
+                 sampling: SamplingParams | None = None, slot: int = 0,
+                 stop_on_eos: bool = True, stream=None):
+        """Generate tokens; returns (token_ids, text)."""
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "model has no tokenizer vocab"
+            tokens = self.tokenizer.encode(prompt, special=True)
+        else:
+            tokens = list(prompt)
+        sampling = sampling or SamplingParams()
+        eos = self.tokenizer.vocab.eos_id if self.tokenizer else 2
+        nl = 13
+        sampler = Sampler(sampling, self.cfg.vocab_size, eos_id=eos, nl_id=nl)
+        for t in tokens:
+            sampler.accept(t)
+
+        logits = self.prefill(slot, tokens)
+        out_ids: list[int] = []
+        for _ in range(n_predict):
+            t0 = time.perf_counter()
+            tok = sampler.sample(logits)
+            sampler.accept(tok)
+            self.timings.t_sample += time.perf_counter() - t0
+            self.timings.n_sample += 1
+            if stop_on_eos and tok == eos and not sampling.ignore_eos:
+                break
+            out_ids.append(tok)
+            if stream is not None and self.tokenizer is not None:
+                stream(self.tokenizer.token_to_piece(tok))
+            logits = self.decode_one(slot, tok)
+        text = self.tokenizer.decode(out_ids) if self.tokenizer else ""
+        return out_ids, text
