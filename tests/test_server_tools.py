@@ -1,0 +1,178 @@
+"""Server, quantize CLI, session save/load and perplexity integration tests.
+
+Analogue of the reference's behave server features (examples/server/tests)
+plus the quantize/perplexity tool paths, all on a tiny converted model.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+pytest.importorskip("transformers")
+import torch
+from transformers import LlamaConfig as HFLlamaConfig
+from transformers import LlamaForCausalLM
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.runtime.engine import Engine
+from tpulamm.runtime.sampling import SamplingParams
+from tpulamm.tools.convert_hf import convert_hf_llama
+
+from tests.test_engine import make_vocab_md, VOCAB
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    torch.manual_seed(3)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("m") / "tiny_f16.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.F32,
+                     vocab=make_vocab_md())
+    return path
+
+
+# ---------------------------------------------------------------------------
+# quantize CLI
+# ---------------------------------------------------------------------------
+
+def test_quantize_cli(model_path, tmp_path):
+    from tpulamm.cli.quantize import quantize_file
+    from tpulamm.gguf.reader import GGUFReader
+
+    out = str(tmp_path / "q4.gguf")
+    quantize_file(model_path, out, GGMLType.Q4_0, verbose=False)
+    r = GGUFReader(out)
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_0
+    # output.weight promoted to Q8_0 (reference promotes to q6_K)
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q8_0
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+    assert r.metadata["general.file_type"] == 2  # MOSTLY_Q4_0
+    r.close()
+    # quantized model still generates
+    eng = Engine(out, n_ctx=64)
+    ids, _ = eng.generate("the cat", n_predict=4,
+                          sampling=SamplingParams(temp=0.0),
+                          stop_on_eos=False)
+    assert len(ids) == 4
+
+
+# ---------------------------------------------------------------------------
+# session save/load
+# ---------------------------------------------------------------------------
+
+def test_session_roundtrip(model_path, tmp_path):
+    from tpulamm.runtime.session import load_session, save_session
+
+    eng = Engine(model_path, n_ctx=64)
+    prompt_ids = eng.tokenizer.encode("the cat sat", special=True)
+    logits1 = eng.prefill(0, prompt_ids)
+    path = str(tmp_path / "sess.npz")
+    save_session(path, eng, tokens=prompt_ids)
+
+    eng2 = Engine(model_path, n_ctx=64)
+    saved = load_session(path, eng2)
+    assert saved == prompt_ids
+    # continuing from restored state == continuing from live state
+    tok = int(np.argmax(logits1))
+    l1 = eng.decode_one(0, tok)
+    l2 = eng2.decode_one(0, tok)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# perplexity tool
+# ---------------------------------------------------------------------------
+
+def test_perplexity(model_path):
+    from tpulamm.cli.perplexity import compute_perplexity
+
+    eng = Engine(model_path, n_ctx=33)
+    text = "the cat sat on the mat " * 40
+    res = compute_perplexity(eng, text, n_ctx=32, progress=False)
+    assert np.isfinite(res["ppl"]) and res["ppl"] > 1.0
+
+
+# ---------------------------------------------------------------------------
+# HTTP server with continuous batching
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def server(model_path):
+    from tpulamm.server.server import serve
+
+    started = threading.Event()
+    th = threading.Thread(
+        target=serve,
+        args=(model_path,),
+        kwargs=dict(port=0, n_slots=2, n_ctx=64, started=started),
+        daemon=True)
+    th.start()
+    assert started.wait(timeout=300)
+    httpd = started.httpd
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _post(url, obj, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_server_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["slots_idle"] == 2
+
+
+def test_server_completion(server):
+    res = _post(server + "/completion",
+                {"prompt": "the cat", "n_predict": 4, "temperature": 0.0})
+    assert res["tokens_predicted"] == 4
+    assert res["stop"] is True
+
+
+def test_server_openai_and_concurrency(server):
+    results = {}
+
+    def go(i):
+        results[i] = _post(server + "/v1/completions",
+                           {"prompt": "the cat", "max_tokens": 6,
+                            "temperature": 0.0, "seed": 1})
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results[0]["choices"][0]["text"] == results[1]["choices"][0]["text"]
+    assert results[0]["usage"]["completion_tokens"] == 6
+
+
+def test_server_chat_and_metrics(server):
+    res = _post(server + "/v1/chat/completions",
+                {"messages": [{"role": "user", "content": "hi"}],
+                 "max_tokens": 3, "temperature": 0.0})
+    assert res["choices"][0]["message"]["role"] == "assistant"
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        m = r.read().decode()
+    assert "llamacpp:requests_total" in m
+
+
+def test_server_tokenize_roundtrip(server):
+    t = _post(server + "/tokenize", {"content": "the cat"})
+    assert len(t["tokens"]) >= 2
+    d = _post(server + "/detokenize", {"tokens": t["tokens"]})
+    assert "cat" in d["content"]

