@@ -7,6 +7,12 @@ activations 11008x128), same FLOPS convention (2*M*K*N / elapsed), same
 correctness gate (|sum - sum_f32| / |sum_f32| <= 1e-2). Baseline to beat:
 121.31 GFLOPS (Q4_0, 4 threads, Loongson 3A6000 — BASELINE.md §1).
 
+Timing: the kernel runs inside an on-device lax.scan with a data dependence
+between iterations (so nothing can be hoisted/deduped), and the per-iteration
+time is the SLOPE between a short and a long scan — this cancels the large
+fixed per-invocation overhead of the tunneled TPU runtime and is robust to
+host-side noise. min over several trials.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -23,12 +29,12 @@ def main():
 
     from tpulamm.gguf.constants import GGMLType
     from tpulamm.ops.pallas_qmm import qmm_pallas
+    from tpulamm.ops.qmatmul import qmatmul
     from tpulamm.ops.qtensor import QTensor, dequant_mm
     from tpulamm.quant import formats
 
     BASELINE = 121.31  # Q4_0 4-thread GFLOPS, README.md:628
     N, K, M = 4096, 11008, 128
-    iters, trials = 20, 7  # min over trials: the chip is shared/tunneled
 
     rng = np.random.default_rng(42)
     # positive data (like the reference's constant fills) so the output-sum
@@ -41,33 +47,43 @@ def main():
     xd = jnp.asarray(x, dtype=jnp.bfloat16)
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu:
-        run = lambda: qmm_pallas(xd, qt, compute_dtype=jnp.bfloat16)
-    else:
-        # CPU fallback: reference path (still reports a number)
-        from tpulamm.ops.qmatmul import qmatmul
-        run = lambda: qmatmul(xd, qt, impl="ref")
+    one_call = (lambda xx: qmm_pallas(xx, qt)) if on_tpu else \
+        (lambda xx: qmatmul(xx, qt, impl="ref"))
 
-    out = run().block_until_ready()  # compile + warmup
+    def make_loop(iters):
+        @jax.jit
+        def loop(xin):
+            def body(carry, _):
+                xx = xin.at[0, 0].add(
+                    (carry * jnp.bfloat16(1e-20)).astype(xin.dtype))
+                out = one_call(xx)
+                return out[0, 0], ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+        return loop
 
-    # NOTE: big device<->host transfers through the device tunnel degrade
-    # subsequent kernel timings in-process, so time FIRST, verify after.
-    dt = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = run()
-        out.block_until_ready()
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+    n1, n2 = (5, 45) if on_tpu else (1, 3)
+    loop1, loop2 = make_loop(n1), make_loop(n2)
+    loop1(xd).block_until_ready()   # compile
+    loop2(xd).block_until_ready()
 
-    # correctness gates vs exact dequant matmul: rel err of output sum <= 1e-2
-    # (reference's gate, la-benchmark-matmult.cpp:369-381) plus elementwise
-    # NMSE <= 1e-4 (stronger)
+    def best_total(loop, reps=5):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loop(xd).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (best_total(loop2) - best_total(loop1)) / (n2 - n1)
+
+    # correctness gates vs exact dequant matmul (run AFTER timing: large
+    # transfers perturb the shared device)
+    got = np.asarray(one_call(xd))
     ref = np.asarray(xd, np.float32) @ np.asarray(dequant_mm(qt, jnp.float32))
-    got = np.asarray(out)
     rel = abs(got.sum() - ref.sum()) / max(abs(ref.sum()), 1e-9)
     nmse = float(np.mean((got - ref) ** 2) / np.mean(ref ** 2))
-    if rel > 1e-2 or nmse > 1e-3:
+    if rel > 1e-2 or nmse > 1e-4:
         print(json.dumps({"metric": "fused_dequant_matmul_q4_0", "value": 0.0,
                           "unit": "GFLOPS", "vs_baseline": 0.0,
                           "error": f"rel {rel:.3e} nmse {nmse:.3e}"}))
