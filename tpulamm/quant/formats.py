@@ -479,12 +479,24 @@ WEIGHT_TYPES = (GGMLType.F32, GGMLType.Q2_K, GGMLType.Q4_0, GGMLType.Q4_1,
 
 
 def quantize(x: np.ndarray, qtype: GGMLType) -> np.ndarray:
-    """f32 array (..., k) -> raw bytes in ggml on-disk layout."""
+    """f32 array (..., k) -> raw bytes in ggml on-disk layout.
+
+    Uses the native C++ codec when available (bit-identical; tests enforce),
+    falling back to the vectorized numpy implementations above.
+    """
+    from tpulamm.quant import native
+    out = native.quantize(np.asarray(x, np.float32), qtype)
+    if out is not None:
+        return out
     return QUANTIZERS[qtype](x)
 
 
 def dequantize(raw: np.ndarray, qtype: GGMLType, k: int) -> np.ndarray:
     """raw ggml bytes (..., row_bytes) -> f32 (..., k)."""
+    from tpulamm.quant import native
+    out = native.dequantize(raw, qtype, k)
+    if out is not None:
+        return out
     return DEQUANTIZERS[qtype](raw, k)
 
 

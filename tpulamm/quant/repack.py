@@ -167,6 +167,10 @@ def repack_mm(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]
     spec = SPECS[qtype]
     if k % 256 != 0:
         raise ValueError(f"mm repack needs K % 256 == 0, got {k}")
+    from tpulamm.quant import native
+    out = native.repack(raw, qtype, k, "mm")
+    if out is not None:
+        return out
     vals, scales, mins = extract_ints(raw, qtype, k)
     if qtype == GGMLType.Q2_K:
         mins = -mins
@@ -189,6 +193,10 @@ def repack_mm(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]
 def repack_rows(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]:
     """GGUF rows -> row-major planes for quantized embedding gather."""
     spec = SPECS[qtype]
+    from tpulamm.quant import native
+    out = native.repack(raw, qtype, k, "rows")
+    if out is not None:
+        return out
     vals, scales, mins = extract_ints(raw, qtype, k)
     if qtype == GGMLType.Q2_K:
         mins = -mins
