@@ -1,0 +1,272 @@
+"""Generic transformer forward covering every reference architecture.
+
+One feature-flagged functional forward replaces the reference's 23 per-arch
+graph builders (llm_build_context::build_*, llama.cpp:5708-8308). The
+structural axes, each mirrored from the reference:
+
+- pre-norm (llama & co) / post-norm (build_bert :6445) / parallel residual
+  (build_falcon :6040, build_phi2 :7208, build_plamo :7331)
+- RMSNorm vs LayerNorm with optional biases (llm_build_norm :5178)
+- separate or fused QKV (fused weights are split into wq/wk/wv at load time —
+  block-quant rows are independent, so the split is bit-exact)
+- optional q/k per-head layernorm (build_persimmon :6205)
+- RoPE norm/neox/none with partial n_rot pass-through (ggml_rope_custom)
+- ALiBi position bias (ggml_soft_max_ext alibi slopes, ggml.c:12283-12298)
+- fused-qkv clamping (build_mpt :6804, f_clamp_kqv)
+- FFN: silu/gelu/relu², gated (PAR) or plain (SEQ), optional biases and
+  mpt act scales (llm_build_ffn :5203-5288)
+- MoE top-k expert mixing (build_llama MoE branch :5797-5858)
+- learned position embeddings (build_gpt2 :7441), token-type embedding and
+  embedding layernorm (build_bert :6472-6482), embedding/residual/logit
+  scaling (build_minicpm :7844-7948, build_gemma :7971)
+- mean/cls pooling for embedding models (build_bert :6633-6652)
+
+Weights are QTensors (packed quantized planes); projections go through
+qmatmul (fused dequant+matmul Pallas kernel). jax.jit traces once per (B, T)
+shape; XLA owns scheduling/fusion (no ggml graph executor analogue).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tpulamm.models.config import ModelConfig
+from tpulamm.ops.layers import layer_norm, masked_softmax, rms_norm
+from tpulamm.ops.qmatmul import dense_matmul, qmatmul
+from tpulamm.ops.qtensor import QTensor, gather_dequant_rows
+from tpulamm.ops.rope import apply_rope
+from tpulamm.runtime.kvcache import KVCache, write_kv
+
+Params = dict[str, Any]
+
+
+def _proj(x: jnp.ndarray, w, cfg: ModelConfig, bias=None) -> jnp.ndarray:
+    if isinstance(w, QTensor):
+        y = qmatmul(x, w, compute_dtype=cfg.cdtype)
+    else:
+        y = dense_matmul(x, w)
+    if bias is not None:
+        y = (y + bias.astype(jnp.float32)).astype(y.dtype)
+    return y
+
+
+def _norm(x: jnp.ndarray, p: Params, name: str, cfg: ModelConfig) -> jnp.ndarray:
+    """llm_build_norm (llama.cpp:5178): RMS or LN with optional bias."""
+    w = p[name]
+    b = p.get(name + "_b")
+    if cfg.norm_type == "rms":
+        return rms_norm(x, w, cfg.norm_eps)
+    return layer_norm(x, w, b, cfg.norm_eps)
+
+
+def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "silu":
+        return x * jax.nn.sigmoid(x)
+    if kind == "gelu":
+        # ggml_gelu is tanh-approximated (ggml.c gelu table)
+        return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654
+                                         * (x + 0.044715 * x * x * x)))
+    if kind == "relu":
+        return jnp.maximum(x, 0)
+    if kind == "relu_sqr":
+        r = jnp.maximum(x, 0)
+        return r * r
+    raise ValueError(kind)
+
+
+def alibi_slopes(n_heads: int, max_bias: float) -> jnp.ndarray:
+    """Per-head ALiBi slopes, exactly ggml_compute_forward_soft_max_f32
+    (ggml.c:12283-12298)."""
+    n_head_log2 = 1 << int(math.floor(math.log2(n_heads)))
+    m0 = 2.0 ** (-max_bias / n_head_log2)
+    m1 = 2.0 ** (-(max_bias / 2.0) / n_head_log2)
+    h = jnp.arange(n_heads, dtype=jnp.float32)
+    return jnp.where(h < n_head_log2,
+                     m0 ** (h + 1.0),
+                     m1 ** (2.0 * (h - n_head_log2) + 1.0))
+
+
+def embed(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    emb = params["tok_emb"]
+    if isinstance(emb, QTensor):
+        h = gather_dequant_rows(emb, tokens, dtype=cfg.cdtype)
+    else:
+        h = emb[tokens].astype(cfg.cdtype)
+    return h
+
+
+def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
+              positions: jnp.ndarray, cache: KVCache, layer_idx: int,
+              slots: jnp.ndarray, cells: jnp.ndarray) -> tuple:
+    B, T, _ = h.shape
+    hd = cfg.head_dim
+
+    q = _proj(h, layer["wq"], cfg, layer.get("bq"))
+    k = _proj(h, layer["wk"], cfg, layer.get("bk"))
+    v = _proj(h, layer["wv"], cfg, layer.get("bv"))
+    if cfg.clamp_kqv > 0.0:
+        q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+        k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+        v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
+    q = q.reshape(B, T, cfg.n_heads, hd)
+    k = k.reshape(B, T, cfg.n_kv_heads, hd)
+    v = v.reshape(B, T, cfg.n_kv_heads, hd)
+
+    if cfg.qk_norm:
+        # per-head layernorm over head_dim (build_persimmon, llama.cpp:6240)
+        q = layer_norm(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"),
+                       cfg.norm_eps)
+        k = layer_norm(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"),
+                       cfg.norm_eps)
+
+    q = apply_rope(q, positions, cfg.rope)
+    k = apply_rope(k, positions, cfg.rope)
+
+    cache = write_kv(cache, layer_idx, k, v, slots, cells, positions)
+
+    kc = cache.k[layer_idx, slots]                     # (B, S, Hkv, D)
+    vc = cache.v[layer_idx, slots]
+    group = cfg.n_heads // cfg.n_kv_heads
+
+    qg = q.reshape(B, T, cfg.n_kv_heads, group, hd)
+    # scores: (B, Hkv, G, T, S)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg.astype(jnp.float32),
+                        kc.astype(jnp.float32))
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(hd)))
+
+    kpos = cache.pos[slots]                            # (B, S)
+    if cfg.max_alibi_bias > 0.0:
+        # ggml_soft_max_ext ALiBi: scores += slope[h] * key_pos
+        slopes = alibi_slopes(cfg.n_heads, cfg.max_alibi_bias)
+        slopes = slopes.reshape(1, cfg.n_kv_heads, group, 1, 1)
+        scores = scores + slopes * kpos[:, None, None, None, :].astype(jnp.float32)
+
+    # KQ_mask (llama_set_inputs, llama.cpp:8523): key cell live; causal archs
+    # additionally require key pos <= query pos
+    live = kpos[:, None, :] >= 0
+    if cfg.causal:
+        mask = live & (kpos[:, None, :] <= positions[:, :, None])
+    else:
+        mask = jnp.broadcast_to(live, (B, T, kpos.shape[-1]))
+    mask = mask[:, None, None, :, :]                   # (B, 1, 1, T, S)
+
+    probs = masked_softmax(scores, mask)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, vc.astype(jnp.float32))
+    out = out.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)
+    return _proj(out, layer["wo"], cfg, layer.get("bo")), cache
+
+
+def ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """llm_build_ffn (llama.cpp:5203): gated (PAR) when ffn_gate exists."""
+    up = _proj(h, layer["w_up"], cfg, layer.get("b_up"))
+    if layer.get("w_gate") is not None:
+        gate = _proj(h, layer["w_gate"], cfg, layer.get("b_gate"))
+        mid = (_act(gate.astype(jnp.float32), cfg.ffn_act)
+               * up.astype(jnp.float32))
+    else:
+        mid = _act(up.astype(jnp.float32), cfg.ffn_act)
+        if layer.get("ffn_act_scales") is not None:    # mpt (llm_build_ffn :5260)
+            mid = mid / layer["ffn_act_scales"].astype(jnp.float32)
+    return _proj(mid.astype(cfg.cdtype), layer["w_down"], cfg,
+                 layer.get("b_down"))
+
+
+def moe_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """MoE branch of build_llama (llama.cpp:5797-5858).
+
+    TPU-native formulation: instead of ggml_mul_mat_id's per-expert row
+    gather, compute each expert densely and combine with the (mostly zero)
+    routing weights — jit-static, MXU-friendly; E is small (8 for mixtral).
+    """
+    router = _proj(h, layer["ffn_gate_inp"], cfg)          # (B, T, E)
+    probs = jnp.asarray(jnp.exp(router - jnp.max(router, -1, keepdims=True)),
+                        jnp.float32)
+    probs = probs / probs.sum(-1, keepdims=True)
+    topv, topi = jax.lax.top_k(probs, cfg.n_expert_used)
+    topv = topv / topv.sum(-1, keepdims=True)              # renormalize
+    # dense (B, T, E) weights with zeros off the top-k
+    onehot = jnp.sum(jnp.eye(cfg.n_expert, dtype=jnp.float32)[topi]
+                     * topv[..., None], axis=-2)
+    out = None
+    for e in range(cfg.n_expert):
+        gate = _proj(h, layer["ffn_gate_exp"][e], cfg)
+        up = _proj(h, layer["ffn_up_exp"][e], cfg)
+        mid = (_act(gate.astype(jnp.float32), cfg.ffn_act)
+               * up.astype(jnp.float32)).astype(cfg.cdtype)
+        ex = _proj(mid, layer["ffn_down_exp"][e], cfg).astype(jnp.float32)
+        ex = ex * onehot[..., e:e + 1]
+        out = ex if out is None else out + ex
+    return out.astype(cfg.cdtype)
+
+
+def _layer_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
+    if layer.get("ffn_gate_inp") is not None and cfg.n_expert > 0:
+        return moe_ffn(layer, cfg, h)
+    return ffn(layer, cfg, h)
+
+
+def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+            positions: jnp.ndarray, cache: KVCache, slots: jnp.ndarray,
+            cells: jnp.ndarray) -> tuple[jnp.ndarray, KVCache]:
+    """tokens/positions/cells: (B, T); slots: (B,) -> (logits f32, cache).
+
+    For embedding archs (bert) with no lm head, returns final hidden states
+    (B, T, dim) instead of logits; pooling is a separate host-side step
+    (runtime.embedding) as in the reference's pooling graphs.
+    """
+    h = embed(params, cfg, tokens)
+    if cfg.emb_scale != 1.0:
+        h = (h.astype(jnp.float32) * cfg.emb_scale).astype(cfg.cdtype)
+    if cfg.pos_emb:
+        # pad rows carry position -1; clamp (they are masked downstream)
+        p = jnp.maximum(positions, 0)
+        h = h + params["pos_emb"][p].astype(cfg.cdtype)
+    if params.get("type_emb") is not None:
+        # token types hardcoded to zero "Sentence A" (build_bert :6475)
+        h = h + params["type_emb"][0].astype(cfg.cdtype)
+    if cfg.tok_norm:
+        h = _norm(h, params, "tok_norm", cfg)
+
+    for il, layer in enumerate(params["layers"]):
+        if cfg.post_norm:
+            # bert topology: x -> attn -> +res -> LN -> ffn -> +res -> LN
+            attn_out, cache = attention(layer, cfg, h, positions, cache, il,
+                                        slots, cells)
+            h = _norm((h + attn_out).astype(cfg.cdtype), layer,
+                      "attn_out_norm", cfg)
+            h = _norm((h + _layer_ffn(layer, cfg, h)).astype(cfg.cdtype),
+                      layer, "layer_out_norm", cfg)
+        elif cfg.parallel_residual:
+            hn = _norm(h, layer, "attn_norm", cfg)
+            # falcon-40B feeds attention from a second norm (build_falcon :6055)
+            ha = (_norm(h, layer, "attn_norm_2", cfg)
+                  if layer.get("attn_norm_2") is not None else hn)
+            attn_out, cache = attention(layer, cfg, ha, positions, cache, il,
+                                        slots, cells)
+            ffn_out = _layer_ffn(layer, cfg, hn)
+            h = (h + attn_out + ffn_out).astype(cfg.cdtype)
+        else:
+            hn = _norm(h, layer, "attn_norm", cfg)
+            attn_out, cache = attention(layer, cfg, hn, positions, cache, il,
+                                        slots, cells)
+            if cfg.res_scale != 1.0:
+                attn_out = attn_out * cfg.res_scale
+            h = (h + attn_out).astype(cfg.cdtype)
+            hn = _norm(h, layer, "ffn_norm", cfg)
+            ffn_out = _layer_ffn(layer, cfg, hn)
+            if cfg.res_scale != 1.0:
+                ffn_out = ffn_out * cfg.res_scale
+            h = (h + ffn_out).astype(cfg.cdtype)
+
+    if params.get("out_norm") is not None:
+        h = _norm(h, params, "out_norm", cfg)
+    if params.get("output") is None:
+        return h.astype(jnp.float32), cache            # embedding model
+    if cfg.logit_scale != 1.0:
+        h = (h.astype(jnp.float32) * cfg.logit_scale).astype(cfg.cdtype)
+    logits = _proj(h, params["output"], cfg, params.get("output_b"))
+    return logits.astype(jnp.float32), cache

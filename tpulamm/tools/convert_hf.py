@@ -1,126 +1,701 @@
-"""HF LLaMA checkpoint -> GGUF converter.
+"""HF checkpoint -> GGUF converter for every reference architecture.
 
 Capability parity with the reference's convert.py (llama.cpp-b2430/convert.py,
-1486 LoC): maps HF tensor names to GGUF names, applies the rope permutation
-that converts HF's half-split rotary layout to ggml's interleaved NORM layout,
-writes hparams + tokenizer metadata, and optionally quantizes weights.
+LLaMA family) and convert-hf-to-gguf.py (2,056 LoC, many archs): maps HF
+tensor names to GGUF names, applies the per-arch weight transforms the
+reference applies, writes hparams + tokenizer metadata, and optionally
+quantizes weights. The notable transforms (same as the reference):
 
-The permutation (convert.py `permute`): rows of q/k projections are grouped
-per head as (head, 2, hd/2) and transposed to (head, hd/2, 2), so that
-consecutive-pair rotation on the converted weights equals HF's rotate-half.
+- llama family: rope permutation converting HF's half-split rotary layout to
+  ggml's interleaved NORM layout (convert.py `permute`)
+- falcon: de-interleave kv-group fused qkv into contiguous q|k|v
+  (convert-hf-to-gguf.py FalconModel.write_tensors)
+- bloom: de-interleave (n_head, 3, hd) fused qkv (BloomModel.write_tensors)
+- gpt2: transpose Conv1D weights (GPT2Model writes transposed)
+- gemma: +1.0 on rms-norm weights (GemmaModel.write_tensors)
+- mamba: ssm_a = -exp(A_log) (MambaModel.write_tensors)
+- persimmon: fused qkv kept per-head interleaved (PersimmonModel; the
+  graph/our loader expects exactly that layout)
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from tpulamm.gguf.constants import GGMLType
+from tpulamm.gguf.constants import GGML_TYPE_SIZES, GGMLType
 from tpulamm.gguf.writer import GGUFWriter
 from tpulamm.quant.formats import quantize
 
-# tensors quantized when a quant type is requested; norms stay f32
-# (same policy as llama_model_quantize_internal's defaults for 1d tensors)
-_QUANTIZABLE_SUFFIXES = (
-    "attn_q.weight", "attn_k.weight", "attn_v.weight", "attn_output.weight",
-    "ffn_gate.weight", "ffn_up.weight", "ffn_down.weight",
-    "token_embd.weight", "output.weight",
-)
+# 1-D tensors and these roles always stay F32 (same policy as
+# llama_model_quantize_internal for non-matmul tensors)
+_NEVER_QUANT = ("position_embd", "token_types", "ssm_conv1d", "ssm_a",
+                "ssm_d", "ssm_dt", "ssm_x", "rope_freqs", ".act.")
 
 
 def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-split rotary rows -> ggml interleaved NORM rows."""
     out_dim = w.shape[0]
     return (w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
              .swapaxes(1, 2).reshape(w.shape))
 
 
-def hf_name_map(n_layers: int) -> dict[str, tuple[str, str | None]]:
-    """HF name -> (gguf name, special handling tag)."""
-    m = {
-        "model.embed_tokens.weight": ("token_embd.weight", None),
-        "model.norm.weight": ("output_norm.weight", None),
-        "lm_head.weight": ("output.weight", None),
-    }
-    for i in range(n_layers):
-        h = f"model.layers.{i}."
-        g = f"blk.{i}."
-        m[h + "input_layernorm.weight"] = (g + "attn_norm.weight", None)
-        m[h + "self_attn.q_proj.weight"] = (g + "attn_q.weight", "permute_q")
-        m[h + "self_attn.k_proj.weight"] = (g + "attn_k.weight", "permute_k")
-        m[h + "self_attn.v_proj.weight"] = (g + "attn_v.weight", None)
-        m[h + "self_attn.o_proj.weight"] = (g + "attn_output.weight", None)
-        m[h + "post_attention_layernorm.weight"] = (g + "ffn_norm.weight", None)
-        m[h + "mlp.gate_proj.weight"] = (g + "ffn_gate.weight", None)
-        m[h + "mlp.up_proj.weight"] = (g + "ffn_up.weight", None)
-        m[h + "mlp.down_proj.weight"] = (g + "ffn_down.weight", None)
-    return m
+class ModelWriter:
+    """GGUFWriter wrapper with the converter's quantization policy."""
+
+    def __init__(self, out_path: str, arch: str, qtype: GGMLType):
+        self.w = GGUFWriter(out_path)
+        self.arch = arch
+        self.qtype = qtype
+        self.kv("general.architecture", arch)
+
+    def kv(self, key: str, val):
+        self.w.add_kv(key, val)
+
+    def akv(self, key: str, val):
+        """arch-prefixed KV."""
+        self.w.add_kv(f"{self.arch}.{key}", val)
+
+    def tensor(self, name: str, x: np.ndarray):
+        x = np.asarray(x, np.float32)
+        tq = self.qtype
+        if (x.ndim != 2 or any(s in name for s in _NEVER_QUANT)
+                or "norm" in name):
+            tq = GGMLType.F32
+        if tq != GGMLType.F32:
+            bs = GGML_TYPE_SIZES[tq][0]
+            if x.shape[-1] % bs != 0:
+                tq = GGMLType.F32      # dims not blockable stay dense
+        if tq == GGMLType.F32:
+            self.w.add_tensor(name, x)
+        else:
+            raw = quantize(x, tq)
+            self.w.add_tensor(name, raw, shape=x.shape, ggml_type=tq)
+
+    def maybe(self, sd: dict, hf_name: str, gguf_name: str, transform=None):
+        if hf_name in sd:
+            x = np.asarray(sd[hf_name], np.float32)
+            if transform is not None:
+                x = transform(x)
+            self.tensor(gguf_name, x)
+            return True
+        return False
+
+    def vocab(self, vocab: dict | None):
+        if not vocab:
+            return
+        self.kv("tokenizer.ggml.model", vocab.get("model", "llama"))
+        self.kv("tokenizer.ggml.tokens", list(vocab["tokens"]))
+        if "scores" in vocab:
+            self.kv("tokenizer.ggml.scores",
+                    np.asarray(vocab["scores"], np.float32))
+        if "token_type" in vocab:
+            self.kv("tokenizer.ggml.token_type",
+                    np.asarray(vocab["token_type"], np.int32))
+        if "merges" in vocab:
+            self.kv("tokenizer.ggml.merges", list(vocab["merges"]))
+        for k in ("bos", "eos", "unk", "pad"):
+            if k in vocab:
+                self.kv(f"tokenizer.ggml.{k}_token_id", int(vocab[k]))
+
+    def write(self):
+        self.w.write()
 
 
+def _common_kv(W: ModelWriter, c, *, n_ctx_key="max_position_embeddings",
+               rms=True):
+    n_head = int(c.num_attention_heads)
+    n_kv = int(getattr(c, "num_key_value_heads", None) or n_head)
+    W.kv("general.name", getattr(c, "name_or_path", "") or "converted")
+    W.akv("context_length", int(getattr(c, n_ctx_key, 2048) or 2048))
+    W.akv("embedding_length", int(c.hidden_size))
+    W.akv("block_count", int(c.num_hidden_layers))
+    W.akv("feed_forward_length",
+          int(getattr(c, "intermediate_size", None) or 4 * c.hidden_size))
+    W.akv("attention.head_count", n_head)
+    W.akv("attention.head_count_kv", n_kv)
+    if rms:
+        W.akv("attention.layer_norm_rms_epsilon",
+              float(getattr(c, "rms_norm_eps", 1e-5)))
+    else:
+        W.akv("attention.layer_norm_epsilon",
+              float(getattr(c, "layer_norm_epsilon",
+                            getattr(c, "layer_norm_eps", 1e-5))))
+    W.akv("vocab_size", int(c.vocab_size))
+    return n_head, n_kv
+
+
+def _rope_kv(W: ModelWriter, c, n_rot: int):
+    W.akv("rope.dimension_count", int(n_rot))
+    W.akv("rope.freq_base", float(getattr(c, "rope_theta", 10000.0)))
+
+
+# ---------------------------------------------------------------------------
+# llama family (llama / mixtral / internlm2 / orion-style naming)
+# ---------------------------------------------------------------------------
+
+def convert_llama_family(sd: dict, c, out_path: str, *, arch: str = "llama",
+                         qtype=GGMLType.F32, vocab=None, rms=True,
+                         permute_qk=True) -> None:
+    n_head = int(c.num_attention_heads)
+    n_kv = int(getattr(c, "num_key_value_heads", None) or n_head)
+    head_dim = int(c.hidden_size) // n_head
+    W = ModelWriter(out_path, arch, qtype)
+    _common_kv(W, c, rms=rms)
+    _rope_kv(W, c, head_dim)
+    if getattr(c, "num_local_experts", 0):
+        W.akv("expert_count", int(c.num_local_experts))
+        W.akv("expert_used_count", int(c.num_experts_per_tok))
+    W.vocab(vocab)
+
+    pq = (lambda x: permute_rope(x, n_head)) if permute_qk else None
+    pk = (lambda x: permute_rope(x, n_kv)) if permute_qk else None
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.norm.weight", "output_norm.weight")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "self_attn.q_proj.weight", g + "attn_q.weight", pq)
+        W.maybe(sd, h + "self_attn.k_proj.weight", g + "attn_k.weight", pk)
+        W.maybe(sd, h + "self_attn.q_proj.bias", g + "attn_q.bias", pq)
+        W.maybe(sd, h + "self_attn.k_proj.bias", g + "attn_k.bias", pk)
+        W.maybe(sd, h + "self_attn.v_proj.weight", g + "attn_v.weight")
+        W.maybe(sd, h + "self_attn.v_proj.bias", g + "attn_v.bias")
+        W.maybe(sd, h + "self_attn.o_proj.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "mlp.gate_proj.weight", g + "ffn_gate.weight")
+        W.maybe(sd, h + "mlp.up_proj.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.down_proj.weight", g + "ffn_down.weight")
+        # mixtral MoE
+        W.maybe(sd, h + "block_sparse_moe.gate.weight",
+                g + "ffn_gate_inp.weight")
+        e = 0
+        while h + f"block_sparse_moe.experts.{e}.w1.weight" in sd:
+            W.maybe(sd, h + f"block_sparse_moe.experts.{e}.w1.weight",
+                    g + f"ffn_gate.{e}.weight")
+            W.maybe(sd, h + f"block_sparse_moe.experts.{e}.w2.weight",
+                    g + f"ffn_down.{e}.weight")
+            W.maybe(sd, h + f"block_sparse_moe.experts.{e}.w3.weight",
+                    g + f"ffn_up.{e}.weight")
+            e += 1
+    W.write()
+
+
+# back-compat name used by the original llama-only converter
 def convert_hf_llama(state_dict: dict, hf_config, out_path: str,
                      qtype: GGMLType = GGMLType.F32,
                      vocab: dict | None = None) -> None:
-    """state_dict: name -> numpy f32 array (call .numpy() on torch tensors).
+    convert_llama_family(state_dict, hf_config, out_path, qtype=qtype,
+                         vocab=vocab)
 
-    hf_config needs: num_hidden_layers, hidden_size, num_attention_heads,
-    num_key_value_heads, intermediate_size, rms_norm_eps, rope_theta,
-    max_position_embeddings, vocab_size.
 
-    vocab (optional): {"tokens": [...], "scores": [...], "token_type": [...],
-    "model": "llama", "bos": id, "eos": id} for tokenizer metadata.
-    """
-    c = hf_config
-    n_layers = int(c.num_hidden_layers)
+# ---------------------------------------------------------------------------
+# per-arch converters
+# ---------------------------------------------------------------------------
+
+def convert_gpt2(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                 vocab=None) -> None:
+    W = ModelWriter(out_path, "gpt2", qtype)
+    W.kv("general.name", "gpt2")
+    W.akv("context_length", int(c.n_positions))
+    W.akv("embedding_length", int(c.n_embd))
+    W.akv("block_count", int(c.n_layer))
+    W.akv("feed_forward_length", int(getattr(c, "n_inner", None) or 4 * c.n_embd))
+    W.akv("attention.head_count", int(c.n_head))
+    W.akv("attention.head_count_kv", int(c.n_head))
+    W.akv("attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+    T = np.transpose      # HF gpt2 Conv1D stores (in, out)
+    W.maybe(sd, "transformer.wte.weight", "token_embd.weight")
+    W.maybe(sd, "transformer.wpe.weight", "position_embd.weight")
+    W.maybe(sd, "transformer.ln_f.weight", "output_norm.weight")
+    W.maybe(sd, "transformer.ln_f.bias", "output_norm.bias")
+    for i in range(int(c.n_layer)):
+        h, g = f"transformer.h.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "ln_1.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "ln_1.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "attn.c_attn.weight", g + "attn_qkv.weight", T)
+        W.maybe(sd, h + "attn.c_attn.bias", g + "attn_qkv.bias")
+        W.maybe(sd, h + "attn.c_proj.weight", g + "attn_output.weight", T)
+        W.maybe(sd, h + "attn.c_proj.bias", g + "attn_output.bias")
+        W.maybe(sd, h + "ln_2.weight", g + "ffn_norm.weight")
+        W.maybe(sd, h + "ln_2.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "mlp.c_fc.weight", g + "ffn_up.weight", T)
+        W.maybe(sd, h + "mlp.c_fc.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.c_proj.weight", g + "ffn_down.weight", T)
+        W.maybe(sd, h + "mlp.c_proj.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_falcon(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                   vocab=None) -> None:
     n_head = int(c.num_attention_heads)
-    n_kv = int(getattr(c, "num_key_value_heads", n_head) or n_head)
-    head_dim = int(c.hidden_size) // n_head
+    n_kv = int(getattr(c, "num_kv_heads", None) or 1) \
+        if getattr(c, "new_decoder_architecture", False) else \
+        (n_head if not getattr(c, "multi_query", True) else 1)
+    hd = int(c.hidden_size) // n_head
+    W = ModelWriter(out_path, "falcon", qtype)
+    W.kv("general.name", "falcon")
+    W.akv("context_length", 2048)
+    W.akv("embedding_length", int(c.hidden_size))
+    W.akv("block_count", int(c.num_hidden_layers))
+    W.akv("feed_forward_length", 4 * int(c.hidden_size))
+    W.akv("attention.head_count", n_head)
+    W.akv("attention.head_count_kv", n_kv)
+    W.akv("attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
 
-    w = GGUFWriter(out_path)
-    w.add_kv("general.architecture", "llama")
-    w.add_kv("general.name", getattr(c, "name_or_path", "") or "converted")
-    w.add_kv("llama.context_length", int(getattr(c, "max_position_embeddings", 2048)))
-    w.add_kv("llama.embedding_length", int(c.hidden_size))
-    w.add_kv("llama.block_count", n_layers)
-    w.add_kv("llama.feed_forward_length", int(c.intermediate_size))
-    w.add_kv("llama.rope.dimension_count", head_dim)
-    w.add_kv("llama.attention.head_count", n_head)
-    w.add_kv("llama.attention.head_count_kv", n_kv)
-    w.add_kv("llama.attention.layer_norm_rms_epsilon",
-             float(getattr(c, "rms_norm_eps", 1e-5)))
-    w.add_kv("llama.rope.freq_base", float(getattr(c, "rope_theta", 10000.0)))
-    w.add_kv("llama.vocab_size", int(c.vocab_size))
+    def deinterleave(x):
+        # kv-grouped [q*(H/Hkv), k, v] per group -> contiguous q|k|v
+        # (convert-hf-to-gguf.py FalconModel)
+        qkv = x.reshape(n_kv, n_head // n_kv + 2, hd, -1)
+        q = qkv[:, :-2].reshape(n_head * hd, -1)
+        k = qkv[:, -2].reshape(n_kv * hd, -1)
+        v = qkv[:, -1].reshape(n_kv * hd, -1)
+        out = np.concatenate([q, k, v], axis=0)
+        return out if x.ndim == 2 else out.reshape(-1)
 
-    if vocab:
-        w.add_kv("tokenizer.ggml.model", vocab.get("model", "llama"))
-        w.add_kv("tokenizer.ggml.tokens", list(vocab["tokens"]))
-        w.add_kv("tokenizer.ggml.scores",
-                 np.asarray(vocab["scores"], np.float32))
-        w.add_kv("tokenizer.ggml.token_type",
-                 np.asarray(vocab["token_type"], np.int32))
-        if "bos" in vocab:
-            w.add_kv("tokenizer.ggml.bos_token_id", int(vocab["bos"]))
-        if "eos" in vocab:
-            w.add_kv("tokenizer.ggml.eos_token_id", int(vocab["eos"]))
-
-    name_map = hf_name_map(n_layers)
-    for hf_name, arr in state_dict.items():
-        if hf_name not in name_map:
-            continue
-        gguf_name, tag = name_map[hf_name]
-        x = np.asarray(arr, dtype=np.float32)
-        if tag == "permute_q":
-            x = permute_rope(x, n_head)
-        elif tag == "permute_k":
-            x = permute_rope(x, n_kv)
-        tq = qtype
-        if not gguf_name.endswith(_QUANTIZABLE_SUFFIXES) or x.ndim == 1:
-            tq = GGMLType.F32
-        if tq != GGMLType.F32:
-            from tpulamm.gguf.constants import GGML_TYPE_SIZES
-            bs = GGML_TYPE_SIZES[tq][0]
-            if x.shape[-1] % bs != 0:
-                tq = GGMLType.F32  # dims not blockable stay dense
-        if tq == GGMLType.F32:
-            w.add_tensor(gguf_name, x)
+    W.maybe(sd, "transformer.word_embeddings.weight", "token_embd.weight")
+    W.maybe(sd, "transformer.ln_f.weight", "output_norm.weight")
+    W.maybe(sd, "transformer.ln_f.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"transformer.h.{i}.", f"blk.{i}."
+        # falcon-40B: ln_attn feeds attention, ln_mlp feeds ffn;
+        # falcon-7B: single input_layernorm
+        if h + "ln_attn.weight" in sd:
+            W.maybe(sd, h + "ln_mlp.weight", g + "attn_norm.weight")
+            W.maybe(sd, h + "ln_mlp.bias", g + "attn_norm.bias")
+            W.maybe(sd, h + "ln_attn.weight", g + "attn_norm_2.weight")
+            W.maybe(sd, h + "ln_attn.bias", g + "attn_norm_2.bias")
         else:
-            raw = quantize(x, tq)
-            w.add_tensor(gguf_name, raw, shape=x.shape, ggml_type=tq)
-    w.write()
+            W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+            W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "self_attention.query_key_value.weight",
+                g + "attn_qkv.weight", deinterleave)
+        W.maybe(sd, h + "self_attention.dense.weight",
+                g + "attn_output.weight")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.weight", g + "ffn_down.weight")
+    W.write()
+
+
+def convert_gptbigcode(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                       vocab=None) -> None:
+    """starcoder (GPTBigCodeForCausalLM): MQA, learned positions, gelu."""
+    W = ModelWriter(out_path, "starcoder", qtype)
+    W.kv("general.name", "starcoder")
+    W.akv("context_length", int(c.n_positions))
+    W.akv("embedding_length", int(c.n_embd))
+    W.akv("block_count", int(c.n_layer))
+    W.akv("feed_forward_length", int(getattr(c, "n_inner", None) or 4 * c.n_embd))
+    W.akv("attention.head_count", int(c.n_head))
+    W.akv("attention.head_count_kv", 1 if c.multi_query else int(c.n_head))
+    W.akv("attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+    W.maybe(sd, "transformer.wte.weight", "token_embd.weight")
+    W.maybe(sd, "transformer.wpe.weight", "position_embd.weight")
+    W.maybe(sd, "transformer.ln_f.weight", "output_norm.weight")
+    W.maybe(sd, "transformer.ln_f.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.n_layer)):
+        h, g = f"transformer.h.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "ln_1.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "ln_1.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "attn.c_attn.weight", g + "attn_qkv.weight")
+        W.maybe(sd, h + "attn.c_attn.bias", g + "attn_qkv.bias")
+        W.maybe(sd, h + "attn.c_proj.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "attn.c_proj.bias", g + "attn_output.bias")
+        W.maybe(sd, h + "ln_2.weight", g + "ffn_norm.weight")
+        W.maybe(sd, h + "ln_2.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "mlp.c_fc.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.c_fc.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.c_proj.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.c_proj.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_bloom(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                  vocab=None) -> None:
+    n_head = int(c.n_head)
+    n_embd = int(c.hidden_size)
+    hd = n_embd // n_head
+    W = ModelWriter(out_path, "bloom", qtype)
+    W.kv("general.name", "bloom")
+    W.akv("context_length", n_embd)
+    W.akv("embedding_length", n_embd)
+    W.akv("block_count", int(c.n_layer))
+    W.akv("feed_forward_length", 4 * n_embd)
+    W.akv("attention.head_count", n_head)
+    W.akv("attention.head_count_kv", n_head)
+    W.akv("attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+
+    def deint_w(x):
+        q = x.reshape(n_head, 3, hd, n_embd)
+        return np.concatenate([q[:, 0].reshape(-1, n_embd),
+                               q[:, 1].reshape(-1, n_embd),
+                               q[:, 2].reshape(-1, n_embd)], axis=0)
+
+    def deint_b(x):
+        q = x.reshape(n_head, 3, hd)
+        return np.concatenate([q[:, 0].ravel(), q[:, 1].ravel(),
+                               q[:, 2].ravel()])
+
+    W.maybe(sd, "transformer.word_embeddings.weight", "token_embd.weight")
+    W.maybe(sd, "transformer.word_embeddings_layernorm.weight",
+            "token_embd_norm.weight")
+    W.maybe(sd, "transformer.word_embeddings_layernorm.bias",
+            "token_embd_norm.bias")
+    W.maybe(sd, "transformer.ln_f.weight", "output_norm.weight")
+    W.maybe(sd, "transformer.ln_f.bias", "output_norm.bias")
+    for i in range(int(c.n_layer)):
+        h, g = f"transformer.h.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "self_attention.query_key_value.weight",
+                g + "attn_qkv.weight", deint_w)
+        W.maybe(sd, h + "self_attention.query_key_value.bias",
+                g + "attn_qkv.bias", deint_b)
+        W.maybe(sd, h + "self_attention.dense.weight",
+                g + "attn_output.weight")
+        W.maybe(sd, h + "self_attention.dense.bias", g + "attn_output.bias")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "post_attention_layernorm.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_mpt(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                vocab=None) -> None:
+    attn_cfg = getattr(c, "attn_config", {}) or {}
+    if not isinstance(attn_cfg, dict):
+        attn_cfg = attn_cfg.to_dict() if hasattr(attn_cfg, "to_dict") \
+            else vars(attn_cfg)
+    W = ModelWriter(out_path, "mpt", qtype)
+    W.kv("general.name", "mpt")
+    W.akv("context_length", int(c.max_seq_len))
+    W.akv("embedding_length", int(c.d_model))
+    W.akv("block_count", int(c.n_layers))
+    W.akv("feed_forward_length", int(getattr(c, "expansion_ratio", 4)) * int(c.d_model))
+    W.akv("attention.head_count", int(c.n_heads))
+    W.akv("attention.head_count_kv",
+          int(attn_cfg.get("kv_n_heads", 0)) or int(c.n_heads))
+    W.akv("attention.layer_norm_epsilon", 1e-5)
+    W.akv("attention.max_alibi_bias",
+          float(attn_cfg.get("alibi_bias_max", 8.0)))
+    if attn_cfg.get("clip_qkv"):
+        W.akv("attention.clamp_kqv", float(attn_cfg["clip_qkv"]))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+    W.maybe(sd, "transformer.wte.weight", "token_embd.weight")
+    W.maybe(sd, "transformer.norm_f.weight", "output_norm.weight")
+    W.maybe(sd, "transformer.norm_f.bias", "output_norm.bias")
+    for i in range(int(c.n_layers)):
+        h, g = f"transformer.blocks.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "norm_1.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "norm_1.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "attn.Wqkv.weight", g + "attn_qkv.weight")
+        W.maybe(sd, h + "attn.Wqkv.bias", g + "attn_qkv.bias")
+        W.maybe(sd, h + "attn.out_proj.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "norm_2.weight", g + "ffn_norm.weight")
+        W.maybe(sd, h + "norm_2.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "ffn.up_proj.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "ffn.down_proj.weight", g + "ffn_down.weight")
+    W.write()
+
+
+def convert_phi2(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                 vocab=None) -> None:
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    n_rot = int(round(float(getattr(c, "partial_rotary_factor", 0.5)) * hd))
+    W = ModelWriter(out_path, "phi2", qtype)
+    _common_kv(W, c, rms=False)
+    _rope_kv(W, c, n_rot)
+    W.vocab(vocab)
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.final_layernorm.weight", "output_norm.weight")
+    W.maybe(sd, "model.final_layernorm.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    W.maybe(sd, "lm_head.bias", "output.bias")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        for p, t in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                     ("v_proj", "attn_v")):
+            W.maybe(sd, h + f"self_attn.{p}.weight", g + f"{t}.weight")
+            W.maybe(sd, h + f"self_attn.{p}.bias", g + f"{t}.bias")
+        W.maybe(sd, h + "self_attn.dense.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "self_attn.dense.bias", g + "attn_output.bias")
+        W.maybe(sd, h + "mlp.fc1.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.fc1.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.fc2.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.fc2.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_stablelm(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                     vocab=None) -> None:
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    n_rot = int(float(getattr(c, "partial_rotary_factor",
+                              getattr(c, "rope_pct", 0.25))) * hd)
+    W = ModelWriter(out_path, "stablelm", qtype)
+    _common_kv(W, c, rms=False)
+    _rope_kv(W, c, n_rot)
+    W.vocab(vocab)
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.norm.weight", "output_norm.weight")
+    W.maybe(sd, "model.norm.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        for p, t in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                     ("v_proj", "attn_v")):
+            W.maybe(sd, h + f"self_attn.{p}.weight", g + f"{t}.weight")
+            W.maybe(sd, h + f"self_attn.{p}.bias", g + f"{t}.bias")
+        W.maybe(sd, h + "self_attn.o_proj.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "post_attention_layernorm.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "mlp.gate_proj.weight", g + "ffn_gate.weight")
+        W.maybe(sd, h + "mlp.up_proj.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.down_proj.weight", g + "ffn_down.weight")
+    W.write()
+
+
+def convert_qwen2(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                  vocab=None) -> None:
+    """qwen2: llama naming, neox rope (no permute), q/k/v biases."""
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    W = ModelWriter(out_path, "qwen2", qtype)
+    _common_kv(W, c)
+    _rope_kv(W, c, hd)
+    W.vocab(vocab)
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.norm.weight", "output_norm.weight")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        for p, t in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                     ("v_proj", "attn_v")):
+            W.maybe(sd, h + f"self_attn.{p}.weight", g + f"{t}.weight")
+            W.maybe(sd, h + f"self_attn.{p}.bias", g + f"{t}.bias")
+        W.maybe(sd, h + "self_attn.o_proj.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "mlp.gate_proj.weight", g + "ffn_gate.weight")
+        W.maybe(sd, h + "mlp.up_proj.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.down_proj.weight", g + "ffn_down.weight")
+    W.write()
+
+
+def convert_starcoder2(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                       vocab=None) -> None:
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    W = ModelWriter(out_path, "starcoder2", qtype)
+    _common_kv(W, c, rms=False)
+    _rope_kv(W, c, hd)
+    W.vocab(vocab)
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.norm.weight", "output_norm.weight")
+    W.maybe(sd, "model.norm.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        for p, t in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                     ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            W.maybe(sd, h + f"self_attn.{p}.weight", g + f"{t}.weight")
+            W.maybe(sd, h + f"self_attn.{p}.bias", g + f"{t}.bias")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "post_attention_layernorm.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "mlp.c_fc.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.c_fc.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.c_proj.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.c_proj.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_gemma(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                  vocab=None) -> None:
+    W = ModelWriter(out_path, "gemma", qtype)
+    _common_kv(W, c)
+    _rope_kv(W, c, int(c.head_dim))
+    W.akv("attention.key_length", int(c.head_dim))
+    W.akv("attention.value_length", int(c.head_dim))
+    W.vocab(vocab)
+    plus1 = lambda x: x + 1.0   # GemmaModel.write_tensors (norm weights)
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.norm.weight", "output_norm.weight", plus1)
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight", plus1)
+        for p, t in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                     ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            W.maybe(sd, h + f"self_attn.{p}.weight", g + f"{t}.weight")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight", plus1)
+        W.maybe(sd, h + "mlp.gate_proj.weight", g + "ffn_gate.weight")
+        W.maybe(sd, h + "mlp.up_proj.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.down_proj.weight", g + "ffn_down.weight")
+    W.write()
+
+
+def convert_persimmon(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                      vocab=None) -> None:
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    W = ModelWriter(out_path, "persimmon", qtype)
+    _common_kv(W, c, rms=False)
+    # rope covers half the head dim (PersimmonModel converter)
+    W.akv("rope.dimension_count", hd // 2)
+    W.akv("rope.freq_base", float(getattr(c, "rope_theta", 25000.0)))
+    W.vocab(vocab)
+    W.maybe(sd, "model.embed_tokens.weight", "token_embd.weight")
+    W.maybe(sd, "model.final_layernorm.weight", "output_norm.weight")
+    W.maybe(sd, "model.final_layernorm.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"model.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "self_attn.query_key_value.weight",
+                g + "attn_qkv.weight")     # kept per-head interleaved
+        W.maybe(sd, h + "self_attn.query_key_value.bias", g + "attn_qkv.bias")
+        W.maybe(sd, h + "self_attn.dense.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "self_attn.dense.bias", g + "attn_output.bias")
+        W.maybe(sd, h + "self_attn.q_layernorm.weight",
+                g + "attn_q_norm.weight")
+        W.maybe(sd, h + "self_attn.q_layernorm.bias", g + "attn_q_norm.bias")
+        W.maybe(sd, h + "self_attn.k_layernorm.weight",
+                g + "attn_k_norm.weight")
+        W.maybe(sd, h + "self_attn.k_layernorm.bias", g + "attn_k_norm.bias")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "post_attention_layernorm.bias", g + "ffn_norm.bias")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_bert(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                 vocab=None, pooling: str = "mean") -> None:
+    W = ModelWriter(out_path, "bert", qtype)
+    _common_kv(W, c, rms=False)
+    W.akv("attention.causal", False)
+    W.akv("pooling_type", {"none": 0, "mean": 1, "cls": 2}[pooling])
+    W.vocab(vocab)
+    e = "embeddings."
+    W.maybe(sd, e + "word_embeddings.weight", "token_embd.weight")
+    W.maybe(sd, e + "token_type_embeddings.weight", "token_types.weight")
+    W.maybe(sd, e + "position_embeddings.weight", "position_embd.weight")
+    W.maybe(sd, e + "LayerNorm.weight", "token_embd_norm.weight")
+    W.maybe(sd, e + "LayerNorm.bias", "token_embd_norm.bias")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"encoder.layer.{i}.", f"blk.{i}."
+        for p, t in (("attention.self.query", "attn_q"),
+                     ("attention.self.key", "attn_k"),
+                     ("attention.self.value", "attn_v"),
+                     ("attention.output.dense", "attn_output")):
+            W.maybe(sd, h + f"{p}.weight", g + f"{t}.weight")
+            W.maybe(sd, h + f"{p}.bias", g + f"{t}.bias")
+        W.maybe(sd, h + "attention.output.LayerNorm.weight",
+                g + "attn_output_norm.weight")
+        W.maybe(sd, h + "attention.output.LayerNorm.bias",
+                g + "attn_output_norm.bias")
+        W.maybe(sd, h + "intermediate.dense.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "intermediate.dense.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "output.dense.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "output.dense.bias", g + "ffn_down.bias")
+        W.maybe(sd, h + "output.LayerNorm.weight", g + "layer_output_norm.weight")
+        W.maybe(sd, h + "output.LayerNorm.bias", g + "layer_output_norm.bias")
+    W.write()
+
+
+def convert_mamba(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                  vocab=None) -> None:
+    W = ModelWriter(out_path, "mamba", qtype)
+    W.kv("general.name", "mamba")
+    W.akv("context_length", 2**20)
+    W.akv("embedding_length", int(c.hidden_size))
+    W.akv("block_count", int(c.num_hidden_layers))
+    W.akv("feed_forward_length", 0)
+    W.akv("attention.head_count", 0)
+    W.akv("attention.head_count_kv", 0)
+    W.akv("attention.layer_norm_rms_epsilon",
+          float(getattr(c, "layer_norm_epsilon", 1e-5)))
+    W.akv("ssm.conv_kernel", int(c.conv_kernel))
+    W.akv("ssm.inner_size", int(c.intermediate_size))
+    W.akv("ssm.state_size", int(c.state_size))
+    W.akv("ssm.time_step_rank", int(c.time_step_rank))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+    W.maybe(sd, "backbone.embeddings.weight", "token_embd.weight")
+    W.maybe(sd, "backbone.norm_f.weight", "output_norm.weight")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"backbone.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "norm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "mixer.in_proj.weight", g + "ssm_in.weight")
+        W.maybe(sd, h + "mixer.conv1d.weight", g + "ssm_conv1d.weight",
+                lambda x: x.squeeze(1))
+        W.maybe(sd, h + "mixer.conv1d.bias", g + "ssm_conv1d.bias")
+        W.maybe(sd, h + "mixer.x_proj.weight", g + "ssm_x.weight")
+        W.maybe(sd, h + "mixer.dt_proj.weight", g + "ssm_dt.weight")
+        W.maybe(sd, h + "mixer.dt_proj.bias", g + "ssm_dt.bias")
+        W.maybe(sd, h + "mixer.A_log", g + "ssm_a.weight",
+                lambda x: -np.exp(x))
+        W.maybe(sd, h + "mixer.D", g + "ssm_d.weight")
+        W.maybe(sd, h + "mixer.out_proj.weight", g + "ssm_out.weight")
+    W.write()
+
+
+# dispatch on HF config.model_type
+CONVERTERS = {
+    "llama": convert_llama_family,
+    "mixtral": convert_llama_family,
+    "gpt2": convert_gpt2,
+    "falcon": convert_falcon,
+    "gpt_bigcode": convert_gptbigcode,
+    "bloom": convert_bloom,
+    "mpt": convert_mpt,
+    "phi": convert_phi2,
+    "stablelm": convert_stablelm,
+    "qwen2": convert_qwen2,
+    "starcoder2": convert_starcoder2,
+    "gemma": convert_gemma,
+    "persimmon": convert_persimmon,
+    "bert": convert_bert,
+    "mamba": convert_mamba,
+}
+
+
+def convert_hf(model, out_path: str, qtype: GGMLType = GGMLType.F32,
+               vocab: dict | None = None, **kw) -> None:
+    """Convert a loaded HF model (any supported arch) to GGUF."""
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    mt = model.config.model_type
+    if mt not in CONVERTERS:
+        raise NotImplementedError(f"HF model_type {mt!r}")
+    CONVERTERS[mt](sd, model.config, out_path, qtype=qtype, vocab=vocab, **kw)
