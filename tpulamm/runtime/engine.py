@@ -83,11 +83,17 @@ class Engine:
         self.n_ubatch = n_ubatch
         self.grp_attn_n = grp_attn_n
         self.grp_attn_w = grp_attn_w
-        # cell n_ctx is a trash cell: ubatch padding rows write their K/V
-        # there (with position -1) so they never clobber live cells
-        self.cache = KVCache.create(self.cfg.n_layers, n_slots, n_ctx + 1,
-                                    self.cfg.n_kv_heads, self.cfg.head_dim,
-                                    dtype=kv_dtype)
+        # recurrent archs (mamba) carry an SSM state instead of a KV cache
+        self.recurrent = self.cfg.arch == "mamba"
+        if self.recurrent:
+            from tpulamm.models.mamba import MambaState
+            self.cache = MambaState.create(self.cfg, n_slots)
+        else:
+            # cell n_ctx is a trash cell: ubatch padding rows write their K/V
+            # there (with position -1) so they never clobber live cells
+            self.cache = KVCache.create(self.cfg.n_layers, n_slots, n_ctx + 1,
+                                        self.cfg.n_kv_heads,
+                                        self.cfg.head_dim, dtype=kv_dtype)
         # host-side per-slot state (reference: llama_kv_cache cells/head);
         # cell_pos mirrors the device-side cache.pos so cell allocation
         # (llama_kv_cache_find_slot, llama.cpp:2207) never needs a device sync
@@ -97,9 +103,14 @@ class Engine:
         self.timings = Timings()
 
         cfg = self.cfg
+        if self.recurrent:
+            from tpulamm.models.mamba import forward as model_forward
+        else:
+            model_forward = forward
 
         def step(params, tokens, positions, cache, slots, cells):
-            return forward(params, cfg, tokens, positions, cache, slots, cells)
+            return model_forward(params, cfg, tokens, positions, cache,
+                                 slots, cells)
 
         self._step = jax.jit(step, donate_argnums=(3,))
         # position-surgery ops jitted once; p0/p1/delta are traced scalars so
@@ -136,6 +147,8 @@ class Engine:
 
     def _cells_for(self, slot: int, n: int, positions: np.ndarray) -> np.ndarray:
         """Allocate n free cells (host mirror of llama_kv_cache_find_slot)."""
+        if self.recurrent:               # state is per-slot; no cells
+            return np.zeros(n, np.int32)
         free = np.flatnonzero(self.cell_pos[slot] < 0)
         if len(free) < n:
             raise RuntimeError(
@@ -147,7 +160,10 @@ class Engine:
 
     # -- public API ------------------------------------------------------------
     def reset_slot(self, slot: int):
-        self.seq_rm(slot)
+        if self.recurrent:
+            self.cache = self.cache.reset_slot(slot)
+        else:
+            self.seq_rm(slot)
         self.n_past[slot] = 0
         self.cell_pos[slot] = -1
         self.ga_i[slot] = 0
@@ -207,6 +223,9 @@ class Engine:
 
     # -- position surgery (device op + host cell_pos mirror) ------------------
     def seq_rm(self, slot: int, p0: int = 0, p1: int = 2**31 - 1):
+        if self.recurrent:
+            raise NotImplementedError("position surgery on a recurrent "
+                                      "(mamba) state; use reset_slot")
         self.cache = self._jit_seq_rm(self.cache, jnp.int32(slot),
                                       jnp.int32(p0), jnp.int32(p1))
         cp = self.cell_pos[slot]
@@ -231,6 +250,8 @@ class Engine:
 
     # -- context management (main.cpp:540-598) --------------------------------
     def _maybe_shift(self, slot: int, n_keep: int = 4):
+        if self.recurrent:               # unbounded context; nothing to shift
+            return
         if self.grp_attn_n > 1:
             self._self_extend(slot)
             return
