@@ -41,13 +41,16 @@ def _dense(info: GGUFTensorInfo, dtype) -> jax.Array:
 def _mm_from_rows(raw_rows: np.ndarray, ggml_type: GGMLType,
                   shape: tuple[int, int], cfg: ModelConfig):
     n, k = shape
-    if ggml_type in SPECS and k % 256 == 0:
+    # the fused Pallas kernel tiles K in 256-blocks and N in 128-lanes;
+    # off-size tensors (tiny test vocabs) fall back to dense
+    if ggml_type in SPECS and k % 256 == 0 and n % 128 == 0:
         return QTensor.from_gguf_raw(raw_rows, ggml_type, (n, k), layout="mm")
     from tpulamm.quant.formats import dequantize
     w = dequantize(raw_rows, ggml_type, k).reshape(n, k)
     dt = jnp.float32 if ggml_type == GGMLType.F32 else cfg.cdtype
     if ggml_type in SPECS:
-        log.warning("K=%d not 256-aligned; storing dense", k)
+        log.warning("quant tensor (N=%d, K=%d) not tile-aligned; "
+                    "storing dense", n, k)
     return jnp.asarray(w, dtype=dt)
 
 

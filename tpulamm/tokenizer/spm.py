@@ -60,7 +60,10 @@ class Vocab:
             eos_id=int(md.get("tokenizer.ggml.eos_token_id", 2)),
             unk_id=int(md.get("tokenizer.ggml.unknown_token_id", 0)),
             pad_id=int(md.get("tokenizer.ggml.padding_token_id", -1)),
-            add_bos=bool(md.get("tokenizer.ggml.add_bos_token", True)),
+            # BPE models default to no BOS (llm_load_vocab: add_bos is
+            # true only for SPM/WPM unless the GGUF says otherwise)
+            add_bos=bool(md.get("tokenizer.ggml.add_bos_token",
+                                model != "gpt2")),
             add_eos=bool(md.get("tokenizer.ggml.add_eos_token", False)),
             add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix",
                                          True)),
@@ -68,6 +71,31 @@ class Vocab:
             merges=list(md.get("tokenizer.ggml.merges", [])),
         )
         return v
+
+
+def partition_specials(text: str, special: list[tuple[str, int]]):
+    """Split on special-token literals (tokenizer_st_partition,
+    llama.cpp:10082); shared by the SPM/BPE/WPM tokenizers."""
+    fragments: list[tuple[str, object]] = [("raw", text)]
+    for st_text, st_id in special:
+        new_frags = []
+        for kind, frag in fragments:
+            if kind != "raw":
+                new_frags.append((kind, frag))
+                continue
+            rest = frag
+            while True:
+                idx = rest.find(st_text)
+                if idx < 0:
+                    if rest:
+                        new_frags.append(("raw", rest))
+                    break
+                if idx > 0:
+                    new_frags.append(("raw", rest[:idx]))
+                new_frags.append(("tok", st_id))
+                rest = rest[idx + len(st_text):]
+        fragments = new_frags
+    return fragments
 
 
 class SPMTokenizer:
@@ -141,27 +169,7 @@ class SPMTokenizer:
 
     # -- internals ------------------------------------------------------------
     def _partition(self, text: str):
-        """Split on special-token literals (tokenizer_st_partition)."""
-        fragments: list[tuple[str, object]] = [("raw", text)]
-        for st_text, st_id in self.special:
-            new_frags = []
-            for kind, frag in fragments:
-                if kind != "raw":
-                    new_frags.append((kind, frag))
-                    continue
-                rest = frag
-                while True:
-                    idx = rest.find(st_text)
-                    if idx < 0:
-                        if rest:
-                            new_frags.append(("raw", rest))
-                        break
-                    if idx > 0:
-                        new_frags.append(("raw", rest[:idx]))
-                    new_frags.append(("tok", st_id))
-                    rest = rest[idx + len(st_text):]
-            fragments = new_frags
-        return fragments
+        return partition_specials(text, self.special)
 
     def _spm_encode(self, text: str, out: list[int]) -> None:
         data = text.encode("utf-8")

@@ -671,6 +671,80 @@ def convert_mamba(sd: dict, c, out_path: str, qtype=GGMLType.F32,
     W.write()
 
 
+def vocab_from_hf(tok) -> dict:
+    """Extract GGUF tokenizer metadata from a loaded HF tokenizer.
+
+    Covers the three vocab families the reference converts
+    (convert-hf-to-gguf.py _set_vocab_{sentencepiece,gpt2} and
+    BertModel.set_vocab): SPM with scores, byte-level BPE with merges, and
+    WordPiece re-written to the phantom-space convention.
+    """
+    # SPM (sentencepiece-backed, e.g. LlamaTokenizer)
+    sp = getattr(tok, "sp_model", None)
+    if sp is not None:
+        n = sp.get_piece_size()
+        tokens = [sp.id_to_piece(i) for i in range(n)]
+        scores = [float(sp.get_score(i)) for i in range(n)]
+        ttype = []
+        for i in range(n):
+            if sp.is_unknown(i):
+                ttype.append(2)
+            elif sp.is_control(i):
+                ttype.append(3)
+            elif sp.is_byte(i):
+                ttype.append(6)
+            elif sp.is_unused(i):
+                ttype.append(5)
+            else:
+                ttype.append(1)
+        out = dict(model="llama", tokens=tokens, scores=scores,
+                   token_type=ttype)
+    else:
+        vocab = tok.get_vocab()
+        n = max(vocab.values()) + 1
+        tokens = ["" for _ in range(n)]
+        for t, i in vocab.items():
+            tokens[i] = t
+        special_ids = set(getattr(tok, "all_special_ids", []) or [])
+        is_wpm = any(t.startswith("##") for t in vocab)
+        if is_wpm:
+            gg = []
+            for t in tokens:
+                if t.startswith("##"):
+                    gg.append(t[2:])
+                elif t.startswith("[") and t.endswith("]"):
+                    gg.append(t)
+                else:
+                    gg.append("▁" + t)
+            ttype = [3 if i in special_ids else 1 for i in range(n)]
+            out = dict(model="bert", tokens=gg, scores=[0.0] * n,
+                       token_type=ttype)
+        else:
+            merges = []
+            ranks = getattr(tok, "bpe_ranks", None)
+            if ranks:
+                merges = [f"{l} {r}" for (l, r), _ in
+                          sorted(ranks.items(), key=lambda kv: kv[1])]
+            elif hasattr(tok, "backend_tokenizer"):
+                import json as _json
+                data = _json.loads(tok.backend_tokenizer.to_str())
+                raw = data.get("model", {}).get("merges", [])
+                merges = [m if isinstance(m, str) else f"{m[0]} {m[1]}"
+                          for m in raw]
+            ttype = [3 if i in special_ids else 1 for i in range(n)]
+            out = dict(model="gpt2", tokens=tokens, scores=[0.0] * n,
+                       token_type=ttype, merges=merges)
+    for name in ("bos", "eos", "unk", "pad"):
+        tid = getattr(tok, f"{name}_token_id", None)
+        if tid is None and name == "bos":
+            tid = getattr(tok, "cls_token_id", None)
+        if tid is None and name == "eos":
+            tid = getattr(tok, "sep_token_id", None)
+        if tid is not None:
+            out[name] = int(tid)
+    return out
+
+
 # dispatch on HF config.model_type
 CONVERTERS = {
     "llama": convert_llama_family,
