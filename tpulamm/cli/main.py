@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--grp-attn-n", type=int, default=1)
     p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--grammar", default=None,
+                   help="GBNF grammar constraining the output")
+    p.add_argument("--grammar-file", default=None,
+                   help="read GBNF grammar from file")
     p.add_argument("--compute-dtype", default=None,
                    choices=[None, "bfloat16", "float32"])
     p.add_argument("--mlock", action="store_true",
@@ -82,11 +86,17 @@ def main(argv=None):
         samplers_sequence=args.samplers, ignore_eos=args.ignore_eos,
     )
 
+    grammar = args.grammar
+    if args.grammar_file:
+        with open(args.grammar_file) as f:
+            grammar = f.read()
+
     def run_once(text: str):
         if not args.no_display_prompt:
             sys.stdout.write(text)
             sys.stdout.flush()
         engine.generate(text, n_predict=args.n_predict, sampling=sampling,
+                        grammar=grammar,
                         stream=lambda piece: (sys.stdout.write(piece),
                                               sys.stdout.flush()))
         sys.stdout.write("\n")

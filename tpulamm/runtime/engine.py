@@ -282,8 +282,12 @@ class Engine:
     # -- generation -------------------------------------------------------------
     def generate(self, prompt: str | list[int], *, n_predict: int = 128,
                  sampling: SamplingParams | None = None, slot: int = 0,
-                 stop_on_eos: bool = True, stream=None):
-        """Generate tokens; returns (token_ids, text)."""
+                 stop_on_eos: bool = True, stream=None,
+                 grammar: str | object | None = None):
+        """Generate tokens; returns (token_ids, text).
+
+        grammar: GBNF text (or a prebuilt Grammar) constraining the output
+        (llama_sample_grammar semantics)."""
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "model has no tokenizer vocab"
             tokens = self.tokenizer.encode(prompt, special=True)
@@ -292,9 +296,18 @@ class Engine:
         sampling = sampling or SamplingParams()
         eos = self.tokenizer.vocab.eos_id if self.tokenizer else 2
         nl = 13
-        sampler = Sampler(sampling, self.cfg.vocab_size, eos_id=eos, nl_id=nl)
+        gobj, pieces = None, None
+        if grammar is not None:
+            from tpulamm.grammar.engine import Grammar
+            gobj = (Grammar.from_gbnf(grammar) if isinstance(grammar, str)
+                    else grammar)
+            assert self.tokenizer is not None, "grammar needs a tokenizer"
+            pieces = [self.tokenizer.token_bytes(t)
+                      for t in range(self.cfg.vocab_size)]
+        sampler = Sampler(sampling, self.cfg.vocab_size, eos_id=eos, nl_id=nl,
+                          grammar=gobj, token_pieces=pieces)
         for t in tokens:
-            sampler.accept(t)
+            sampler.accept(t, apply_grammar=False)
 
         logits = self.prefill(slot, tokens)
         out_ids: list[int] = []

@@ -159,11 +159,18 @@ class Sampler:
     """Stateful sampling context (llama_sampling_context equivalent)."""
 
     def __init__(self, params: SamplingParams, vocab_size: int,
-                 eos_id: int = 2, nl_id: int = 13):
+                 eos_id: int = 2, nl_id: int = 13,
+                 grammar=None, token_pieces: list[bytes] | None = None):
+        """grammar: tpulamm.grammar.engine.Grammar; token_pieces: raw piece
+        bytes per token id (required when a grammar is set)."""
         self.params = params
         self.vocab_size = vocab_size
         self.eos_id = eos_id
         self.nl_id = nl_id
+        self.grammar = grammar
+        self.token_pieces = token_pieces
+        if grammar is not None:
+            assert token_pieces is not None, "grammar requires token_pieces"
         self.prev: list[int] = []
         self.mu: float | None = None  # mirostat state
         seed = params.seed
@@ -175,14 +182,45 @@ class Sampler:
         self.prev.clear()
         self.mu = None
 
-    def accept(self, tok: int):
+    def accept(self, tok: int, apply_grammar: bool = True):
+        """llama_sampling_accept: track history; advance grammar state."""
         self.prev.append(tok)
         if len(self.prev) > max(self.params.n_prev,
                                 self.params.penalty_last_n):
             self.prev.pop(0)
+        if self.grammar is not None and apply_grammar and tok != self.eos_id:
+            self.grammar.accept_token(self.token_pieces[tok])
+
+    # -- grammar constraint (llama_sample_grammar, llama.cpp:11125) ---------
+    def _grammar_ok(self, tok: int) -> bool:
+        if tok == self.eos_id:
+            return self.grammar.can_stop()
+        piece = self.token_pieces[tok]
+        return tok not in self.grammar.reject_tokens({tok: piece})
+
+    def _apply_grammar(self, logits: np.ndarray) -> np.ndarray:
+        out = logits.copy()
+        finite = np.flatnonzero(np.isfinite(out))
+        pieces = {int(t): self.token_pieces[int(t)] for t in finite
+                  if t != self.eos_id}
+        for t in self.grammar.reject_tokens(pieces):
+            out[t] = -np.inf
+        if not self.grammar.can_stop():
+            out[self.eos_id] = -np.inf
+        return out
 
     # -- main entry (llama_sampling_sample, common/sampling.cpp:163-298) ----
     def sample(self, logits: np.ndarray) -> int:
+        """Sample; if a grammar is set and the pick violates it, re-sample
+        with the grammar constraint applied first (the reference's
+        resample-after-grammar logic, sampling.cpp:276-294)."""
+        tok = self._sample_impl(logits)
+        if self.grammar is not None and not self._grammar_ok(tok):
+            masked = self._apply_grammar(np.asarray(logits, np.float32))
+            tok = self._sample_impl(masked)
+        return tok
+
+    def _sample_impl(self, logits: np.ndarray) -> int:
         p = self.params
         logits = np.asarray(logits, np.float32).copy()
 

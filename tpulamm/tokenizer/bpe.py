@@ -81,6 +81,14 @@ class BPETokenizer:
         return bytes(_U2B.get(ch, ord("?")) for ch in t).decode(
             "utf-8", errors="replace")
 
+    def token_bytes(self, tid: int) -> bytes:
+        """Raw piece bytes through the byte map (may be partial UTF-8)."""
+        t = self.vocab.tokens[tid]
+        if self.vocab.token_types[tid] in (TOKEN_TYPE_CONTROL,
+                                           TOKEN_TYPE_UNKNOWN):
+            return b""
+        return bytes(_U2B.get(ch, ord("?")) for ch in t)
+
     def decode(self, ids: list[int], special: bool = False) -> str:
         buf = bytearray()
         for tid in ids:

@@ -154,6 +154,17 @@ class SPMTokenizer:
             return t if special else ""
         return t.replace(_SPACE_ESC, " ")
 
+    def token_bytes(self, tid: int) -> bytes:
+        """Raw bytes of a token's piece (llama_token_to_piece byte-exact;
+        byte tokens yield their single raw byte, not its UTF-8 encoding)."""
+        t = self.vocab.tokens[tid]
+        tt = self.vocab.token_types[tid]
+        if tt == TOKEN_TYPE_BYTE and t.startswith("<0x"):
+            return bytes([int(t[3:-1], 16)])
+        if tt in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_UNKNOWN):
+            return b""
+        return t.replace(_SPACE_ESC, " ").encode("utf-8")
+
     def decode(self, ids: list[int], special: bool = False) -> str:
         # byte tokens may form multi-byte utf-8 sequences; build bytes
         buf = bytearray()

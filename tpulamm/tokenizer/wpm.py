@@ -59,6 +59,9 @@ class WPMTokenizer:
             return t if special else ""
         return t.replace(_SPACE_ESC, " ")
 
+    def token_bytes(self, tid: int) -> bytes:
+        return self.token_to_piece(tid).encode("utf-8")
+
     def decode(self, ids: list[int], special: bool = False) -> str:
         return "".join(self.token_to_piece(t, special) for t in ids)
 
