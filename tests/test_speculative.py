@@ -1,0 +1,123 @@
+"""Speculative / prompt-lookup decoding correctness.
+
+The invariant (same as the reference's speculative example): with greedy
+sampling, speculative output is IDENTICAL to plain autoregressive decoding —
+acceptance only changes wall-clock, never the text. Using the target as its
+own draft forces a 100% acceptance rate, exercising the full accept path;
+an adversarial draft exercises rejection + KV rollback.
+"""
+
+import numpy as np
+import pytest
+
+import torch
+import transformers
+
+pytest.importorskip("transformers")
+
+from tpulamm.gguf.constants import GGMLType  # noqa: E402
+from tpulamm.runtime.engine import Engine  # noqa: E402
+from tpulamm.runtime.sampling import SamplingParams  # noqa: E402
+from tpulamm.runtime.speculative import (find_ngram_draft,  # noqa: E402
+                                         generate_prompt_lookup,
+                                         generate_speculative)
+from tpulamm.tools.convert_hf import convert_hf  # noqa: E402
+
+GREEDY = dict(sampling=SamplingParams(temp=0.0), stop_on_eos=False)
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    torch.manual_seed(0)
+    m = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256))
+    m.eval()
+    path = str(tmp_path_factory.mktemp("spec") / "m.gguf")
+    convert_hf(m, path, qtype=GGMLType.F32)
+    return path
+
+
+PROMPT = [1, 17, 42, 5, 99]
+
+
+def test_speculative_matches_greedy(model_path):
+    eng = Engine(model_path, n_ctx=256)
+    plain, _ = eng.generate(PROMPT, n_predict=24, **GREEDY)
+
+    target = Engine(model_path, n_ctx=256)
+    draft = Engine(model_path, n_ctx=256)
+    spec, _, stats = generate_speculative(target, draft, PROMPT,
+                                          n_predict=24, n_draft=4, **GREEDY)
+    assert spec == plain
+    # identical target/draft => most greedy drafts accepted. Not exactly
+    # all: the draft proposes via T=1 steps while the target verifies a
+    # padded chunk, and a random tiny model's near-tie logits can argmax
+    # differently across XLA shapes (same effect exists in the reference
+    # between batched and single eval). Real trained models are far less
+    # tie-dense.
+    assert stats.accept_rate > 0.5
+    # fewer target steps than tokens (that's the point)
+    assert stats.n_target_steps < len(spec)
+
+
+def test_speculative_with_bad_draft(model_path, tmp_path):
+    """A different draft model: rejections + KV rollback still yield the
+    exact greedy output."""
+    torch.manual_seed(123)   # different weights -> drafts often rejected
+    m2 = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256))
+    m2.eval()
+    dpath = str(tmp_path / "draft.gguf")
+    convert_hf(m2, dpath, qtype=GGMLType.F32)
+
+    eng = Engine(model_path, n_ctx=256)
+    plain, _ = eng.generate(PROMPT, n_predict=20, **GREEDY)
+
+    target = Engine(model_path, n_ctx=256)
+    draft = Engine(dpath, n_ctx=256)
+    spec, _, stats = generate_speculative(target, draft, PROMPT,
+                                          n_predict=20, n_draft=4, **GREEDY)
+    assert spec == plain
+    assert stats.n_drafted > 0
+
+
+def test_prompt_lookup_matches_greedy(model_path):
+    eng = Engine(model_path, n_ctx=256)
+    # repetitive prompt so n-gram lookup finds drafts
+    prompt = [7, 8, 9, 10, 7, 8, 9, 10, 7, 8]
+    plain, _ = eng.generate(prompt, n_predict=20, **GREEDY)
+
+    eng2 = Engine(model_path, n_ctx=256)
+    spec, _, stats = generate_prompt_lookup(eng2, prompt, n_predict=20,
+                                            n_draft=4, **GREEDY)
+    assert spec == plain
+    assert stats.n_drafted > 0   # the repeats must produce proposals
+
+
+def test_find_ngram_draft():
+    h = [1, 2, 3, 4, 9, 1, 2, 3]
+    # most recent trigram [1,2,3] matched at start; continuation [4, 9]
+    assert find_ngram_draft(h, 2, ngram_min=1, ngram_max=3) == [4, 9]
+    assert find_ngram_draft([5, 6, 7], 3) == []      # no repeat -> no draft
+    # prefers longest n-gram: [2,3] repeat vs [3] repeat
+    h2 = [3, 8, 2, 3, 5, 2, 3]
+    assert find_ngram_draft(h2, 1, ngram_min=1, ngram_max=4) == [5]
+
+
+def test_rollback_restores_state(model_path):
+    """eval_tokens + rollback must leave decode identical to never having
+    speculated (KV cell hygiene)."""
+    eng = Engine(model_path, n_ctx=256)
+    eng.prefill(0, PROMPT)
+    base = int(eng.n_past[0])
+    ref_logits = eng.decode_one(0, 11)
+    eng.rollback(0, base)
+    # speculate garbage, roll back, then take the same step
+    eng.eval_tokens(0, [11, 23, 54, 200])
+    eng.rollback(0, base)
+    logits2 = eng.decode_one(0, 11)
+    np.testing.assert_allclose(logits2, ref_logits, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,68 @@
+"""Speculative / prompt-lookup decoding CLI.
+
+Tool parity with examples/speculative (draft model, -md) and
+examples/lookup (prompt n-gram speculation) from the reference. Prints the
+generation plus draft acceptance statistics, as those tools do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpulamm-speculative",
+        description="speculative decoding (draft model or prompt lookup)")
+    p.add_argument("-m", "--model", required=True, help="target model GGUF")
+    p.add_argument("-md", "--model-draft", default=None,
+                   help="draft model GGUF (omit for prompt-lookup mode)")
+    p.add_argument("-p", "--prompt", default="")
+    p.add_argument("-n", "--n-predict", type=int, default=128)
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("--draft", type=int, default=5,
+                   help="number of tokens to draft per step")
+    p.add_argument("--ngram-min", type=int, default=1)
+    p.add_argument("--ngram-max", type=int, default=4)
+    p.add_argument("--temp", type=float, default=0.0)
+    p.add_argument("-s", "--seed", type=int, default=-1)
+    p.add_argument("--ignore-eos", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from tpulamm.runtime.engine import Engine
+    from tpulamm.runtime.sampling import SamplingParams
+    from tpulamm.runtime.speculative import (generate_prompt_lookup,
+                                             generate_speculative)
+
+    sampling = SamplingParams(
+        temp=args.temp, ignore_eos=args.ignore_eos,
+        seed=args.seed if args.seed >= 0 else 0xFFFFFFFF)
+    target = Engine(args.model, n_ctx=args.ctx_size)
+    stream = lambda piece: (sys.stdout.write(piece), sys.stdout.flush())  # noqa: E731
+    sys.stdout.write(args.prompt)
+
+    if args.model_draft:
+        draft = Engine(args.model_draft, n_ctx=args.ctx_size)
+        _, _, stats = generate_speculative(
+            target, draft, args.prompt, n_predict=args.n_predict,
+            sampling=sampling, n_draft=args.draft, stream=stream)
+    else:
+        _, _, stats = generate_prompt_lookup(
+            target, args.prompt, n_predict=args.n_predict, sampling=sampling,
+            n_draft=args.draft, ngram_min=args.ngram_min,
+            ngram_max=args.ngram_max, stream=stream)
+
+    print()
+    print(f"n_drafted = {stats.n_drafted}, n_accepted = {stats.n_accepted}, "
+          f"accept rate = {stats.accept_rate:.3f}, "
+          f"target steps = {stats.n_target_steps}", file=sys.stderr)
+    print("\n" + target.timings.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

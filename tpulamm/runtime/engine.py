@@ -209,6 +209,28 @@ class Engine:
         self.timings.n_eval += len(toks)
         return {slot: out[slot] for slot in toks}
 
+    def eval_tokens(self, slot: int, tokens: list[int]) -> np.ndarray:
+        """Evaluate a token chunk, returning logits at every position
+        ((T, vocab)); used by speculative/lookup verification."""
+        t0 = time.perf_counter()
+        toks = np.asarray(tokens, np.int32)
+        pos = self.n_past[slot] + np.arange(len(toks))
+        cells = self._cells_for(slot, len(toks), pos)
+        logits = self._run(slot, toks, pos.astype(np.int32), cells)
+        self.n_past[slot] += len(toks)
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += len(toks)
+        return logits
+
+    def rollback(self, slot: int, n_past: int):
+        """Drop KV cells at positions >= n_past (speculative rejection path;
+        the reference does the same with llama_kv_cache_seq_rm after
+        verification, examples/speculative/speculative.cpp)."""
+        if self.recurrent:
+            raise NotImplementedError("cannot roll back a recurrent state")
+        self.seq_rm(slot, int(n_past))
+        self.n_past[slot] = n_past
+
     def decode_one(self, slot: int, token: int) -> np.ndarray:
         """One decode step; returns (vocab,) logits."""
         t0 = time.perf_counter()
