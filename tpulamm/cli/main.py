@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--grp-attn-n", type=int, default=1)
     p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--lora", default=None,
+                   help="apply a LoRA adapter GGUF at load time")
     p.add_argument("--grammar", default=None,
                    help="GBNF grammar constraining the output")
     p.add_argument("--grammar-file", default=None,
@@ -72,7 +74,8 @@ def main(argv=None):
 
     engine = Engine(args.model, n_ctx=args.ctx_size, n_ubatch=args.batch_size,
                     compute_dtype=args.compute_dtype,
-                    grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w)
+                    grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w,
+                    lora_path=args.lora)
 
     sampling = SamplingParams(
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,

@@ -72,10 +72,17 @@ class Engine:
     def __init__(self, model_path: str, *, n_ctx: int = 2048,
                  n_slots: int = 1, n_ubatch: int = 512,
                  compute_dtype: str | None = None, kv_dtype=jnp.bfloat16,
-                 grp_attn_n: int = 1, grp_attn_w: int = 512):
+                 grp_attn_n: int = 1, grp_attn_w: int = 512,
+                 lora_path: str | None = None):
         t0 = time.perf_counter()
         self.cfg, self.params, self.metadata = load_model(
             model_path, compute_dtype=compute_dtype)
+        if lora_path:
+            # llama_model_apply_lora_from_file parity (llama.h:436)
+            from tpulamm.train.lora import (apply_lora_to_qparams,
+                                            load_lora_gguf)
+            self.params = apply_lora_to_qparams(
+                self.params, load_lora_gguf(lora_path), self.cfg)
         self.tokenizer = (build_tokenizer(self.metadata)
                           if "tokenizer.ggml.tokens" in self.metadata else None)
         self.n_ctx = n_ctx
@@ -333,6 +340,11 @@ class Engine:
 
         logits = self.prefill(slot, tokens)
         out_ids: list[int] = []
+        # stream through an incremental UTF-8 decoder: byte tokens may split
+        # multi-byte sequences across steps (llama.cpp writes raw bytes to
+        # stdout; we assemble to valid text)
+        import codecs
+        sdec = codecs.getincrementaldecoder("utf-8")("replace")
         for _ in range(n_predict):
             t0 = time.perf_counter()
             tok = sampler.sample(logits)
@@ -343,7 +355,9 @@ class Engine:
                 break
             out_ids.append(tok)
             if stream is not None and self.tokenizer is not None:
-                stream(self.tokenizer.token_to_piece(tok))
+                piece = sdec.decode(self.tokenizer.token_bytes(tok))
+                if piece:
+                    stream(piece)
             logits = self.decode_one(slot, tok)
         text = self.tokenizer.decode(out_ids) if self.tokenizer else ""
         return out_ids, text
