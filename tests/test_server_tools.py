@@ -176,3 +176,22 @@ def test_server_tokenize_roundtrip(server):
     assert len(t["tokens"]) >= 2
     d = _post(server + "/detokenize", {"tokens": t["tokens"]})
     assert "cat" in d["content"]
+
+
+def test_server_embeddings(server):
+    # native endpoint
+    r = _post(server + "/embedding", {"content": "the cat"})
+    assert len(r["embedding"]) == 256
+    assert np.isfinite(r["embedding"]).all()
+    # OpenAI endpoint with a batch
+    r = _post(server + "/v1/embeddings",
+              {"input": ["the cat", "a dog"]})
+    assert r["object"] == "list" and len(r["data"]) == 2
+    e0 = np.asarray(r["data"][0]["embedding"])
+    e1 = np.asarray(r["data"][1]["embedding"])
+    assert e0.shape == (256,) and not np.allclose(e0, e1)
+    # embedding requests don't break subsequent generation
+    c = _post(server + "/completion",
+              {"prompt": "the cat", "n_predict": 3,
+               "temperature": 0.0})
+    assert c["tokens_predicted"] == 3

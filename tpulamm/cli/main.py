@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--grp-attn-n", type=int, default=1)
     p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--cfg-negative-prompt", default=None,
+                   help="negative prompt for classifier-free guidance")
+    p.add_argument("--cfg-scale", type=float, default=1.0)
     p.add_argument("--lora", default=None,
                    help="apply a LoRA adapter GGUF at load time")
     p.add_argument("--grammar", default=None,
@@ -73,6 +76,7 @@ def main(argv=None):
             prompt = f.read()
 
     engine = Engine(args.model, n_ctx=args.ctx_size, n_ubatch=args.batch_size,
+                    n_slots=2 if args.cfg_negative_prompt else 1,
                     compute_dtype=args.compute_dtype,
                     grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w,
                     lora_path=args.lora)
@@ -100,6 +104,8 @@ def main(argv=None):
             sys.stdout.flush()
         engine.generate(text, n_predict=args.n_predict, sampling=sampling,
                         grammar=grammar,
+                        cfg_negative_prompt=args.cfg_negative_prompt,
+                        cfg_scale=args.cfg_scale,
                         stream=lambda piece: (sys.stdout.write(piece),
                                               sys.stdout.flush()))
         sys.stdout.write("\n")

@@ -216,6 +216,58 @@ class Engine:
         self.timings.n_eval += len(toks)
         return {slot: out[slot] for slot in toks}
 
+    def embed(self, tokens_or_text, pooling: str | None = None,
+              slot: int = 0) -> np.ndarray:
+        """Sentence embedding (examples/embedding parity): run the forward
+        without the lm head and pool the final-norm hidden states.
+        pooling: mean | cls | last (default: model pooling_type, else
+        'last' for causal models — llama_get_embeddings semantics)."""
+        if isinstance(tokens_or_text, str):
+            assert self.tokenizer is not None
+            tokens = self.tokenizer.encode(tokens_or_text, special=True)
+        else:
+            tokens = list(tokens_or_text)
+        if pooling is None:
+            pooling = self.cfg.pooling if self.cfg.pooling != "none" else "last"
+        if not hasattr(self, "_embed_step"):
+            cfg = self.cfg
+            params_nh = {k: v for k, v in self.params.items()
+                         if k not in ("output", "output_b")}
+
+            def estep(params, toks, positions, cache, slots, cells):
+                return forward(params, cfg, toks, positions, cache, slots,
+                               cells)
+            self._embed_step = jax.jit(estep, donate_argnums=(3,))
+            self._embed_params = params_nh
+
+        self.reset_slot(slot)
+        outs = []
+        toks = np.asarray(tokens, np.int32)
+        for off in range(0, len(toks), self.n_ubatch):
+            chunk = toks[off:off + self.n_ubatch]
+            pos = self.n_past[slot] + np.arange(len(chunk))
+            cells = self._cells_for(slot, len(chunk), pos)
+            t = len(chunk)
+            bucket = next(b for b in PREFILL_BUCKETS if b >= t)
+            tok = np.zeros(bucket, np.int32)
+            tok[:t] = chunk
+            p = np.full(bucket, -1, np.int32)
+            p[:t] = pos
+            cel = np.full(bucket, self.n_ctx, np.int32)
+            cel[:t] = cells
+            hidden, self.cache = self._embed_step(
+                self._embed_params, jnp.asarray(tok)[None, :],
+                jnp.asarray(p)[None, :], self.cache,
+                jnp.full((1,), slot, jnp.int32), jnp.asarray(cel)[None, :])
+            outs.append(np.asarray(hidden[0, :t]))
+            self.n_past[slot] += t
+        h = np.concatenate(outs)                     # (T, dim)
+        if pooling == "mean":
+            return h.mean(axis=0)
+        if pooling == "cls":
+            return h[0]
+        return h[-1]                                 # last (causal default)
+
     def eval_tokens(self, slot: int, tokens: list[int]) -> np.ndarray:
         """Evaluate a token chunk, returning logits at every position
         ((T, vocab)); used by speculative/lookup verification."""
@@ -312,11 +364,16 @@ class Engine:
     def generate(self, prompt: str | list[int], *, n_predict: int = 128,
                  sampling: SamplingParams | None = None, slot: int = 0,
                  stop_on_eos: bool = True, stream=None,
-                 grammar: str | object | None = None):
+                 grammar: str | object | None = None,
+                 cfg_negative_prompt: str | list[int] | None = None,
+                 cfg_scale: float = 1.0):
         """Generate tokens; returns (token_ids, text).
 
         grammar: GBNF text (or a prebuilt Grammar) constraining the output
-        (llama_sample_grammar semantics)."""
+        (llama_sample_grammar semantics).
+        cfg_negative_prompt/cfg_scale: classifier-free guidance — a second
+        slot evaluates the negative context and logits are combined with
+        llama_sample_apply_guidance semantics (main.cpp CFG path)."""
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "model has no tokenizer vocab"
             tokens = self.tokenizer.encode(prompt, special=True)
@@ -338,6 +395,19 @@ class Engine:
         for t in tokens:
             sampler.accept(t, apply_grammar=False)
 
+        use_cfg = cfg_negative_prompt is not None and cfg_scale != 1.0
+        gslot = None
+        g_logits = None
+        if use_cfg:
+            gslot = slot + 1
+            assert gslot < self.n_slots, \
+                "CFG needs a free slot (start the engine with n_slots>=2)"
+            neg = (self.tokenizer.encode(cfg_negative_prompt, special=True)
+                   if isinstance(cfg_negative_prompt, str)
+                   else list(cfg_negative_prompt))
+            self.reset_slot(gslot)
+            g_logits = self.prefill(gslot, neg)
+
         logits = self.prefill(slot, tokens)
         out_ids: list[int] = []
         # stream through an incremental UTF-8 decoder: byte tokens may split
@@ -347,7 +417,12 @@ class Engine:
         sdec = codecs.getincrementaldecoder("utf-8")("replace")
         for _ in range(n_predict):
             t0 = time.perf_counter()
-            tok = sampler.sample(logits)
+            if use_cfg:
+                from tpulamm.runtime.sampling import apply_guidance
+                tok = sampler.sample(apply_guidance(logits, g_logits,
+                                                    cfg_scale))
+            else:
+                tok = sampler.sample(logits)
             sampler.accept(tok)
             self.timings.t_sample += time.perf_counter() - t0
             self.timings.n_sample += 1
@@ -358,6 +433,10 @@ class Engine:
                 piece = sdec.decode(self.tokenizer.token_bytes(tok))
                 if piece:
                     stream(piece)
-            logits = self.decode_one(slot, tok)
+            if use_cfg:
+                both = self.decode_batch({slot: tok, gslot: tok})
+                logits, g_logits = both[slot], both[gslot]
+            else:
+                logits = self.decode_one(slot, tok)
         text = self.tokenizer.decode(out_ids) if self.tokenizer else ""
         return out_ids, text

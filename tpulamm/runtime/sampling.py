@@ -140,6 +140,18 @@ def apply_temp(logits: np.ndarray, temp: float, dynatemp_range: float = 0.0,
     return logits / temp
 
 
+def apply_guidance(logits: np.ndarray, logits_guidance: np.ndarray,
+                   scale: float) -> np.ndarray:
+    """Classifier-free guidance (llama_sample_apply_guidance): log-softmax
+    both, then l = scale*(l - g) + g."""
+    def logsm(x):
+        m = x.max()
+        return x - m - np.log(np.exp(x - m).sum())
+    l = logsm(np.asarray(logits, np.float32))
+    g = logsm(np.asarray(logits_guidance, np.float32))
+    return scale * (l - g) + g
+
+
 def apply_penalties(logits: np.ndarray, prev: list[int], penalty_repeat: float,
                     penalty_freq: float, penalty_present: float) -> np.ndarray:
     """llama_sample_repetition_penalties semantics."""

@@ -35,6 +35,7 @@ class Request:
     params: SamplingParams
     n_predict: int
     stream: bool
+    embed: bool = False          # embedding request (pooled hidden states)
     out: "queue.Queue" = field(default_factory=queue.Queue)
     rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
 
@@ -102,6 +103,12 @@ class Scheduler(threading.Thread):
             with self.metrics.lock:
                 self.metrics.queue_depth -= 1
             eng = self.engine
+            if req.embed:
+                # embeddings run to completion on the slot, then free it
+                vec = eng.embed(req.prompt, slot=i)
+                eng.reset_slot(i)
+                req.out.put(("embedding", vec.tolist(), None))
+                continue
             if isinstance(req.prompt, str):
                 tokens = eng.tokenizer.encode(req.prompt, special=True)
             else:
@@ -165,14 +172,12 @@ class Scheduler(threading.Thread):
 
 
 def _chat_prompt(messages: list[dict], metadata: dict | None = None) -> str:
-    """Minimal chat templating (llama_chat_apply_template parity subset):
-    chatml-style rendering, which matches the reference server's default."""
-    parts = []
-    for m in messages:
-        parts.append(f"<|im_start|>{m.get('role', 'user')}\n"
-                     f"{m.get('content', '')}<|im_end|>\n")
-    parts.append("<|im_start|>assistant\n")
-    return "".join(parts)
+    """Render chat messages with the model's own template
+    (llama_chat_apply_template; chatml fallback, server.cpp default)."""
+    from tpulamm.runtime.chat import (apply_chat_template,
+                                      template_from_metadata)
+    tmpl = template_from_metadata(metadata or {})
+    return apply_chat_template(tmpl, messages, add_assistant=True)
 
 
 def make_handler(sched: Scheduler, model_name: str):
@@ -320,8 +325,28 @@ def make_handler(sched: Scheduler, model_name: str):
             elif self.path == "/v1/completions":
                 self._run_request(body.get("prompt", ""), body, "oai")
             elif self.path == "/v1/chat/completions":
-                prompt = _chat_prompt(body.get("messages", []))
+                prompt = _chat_prompt(body.get("messages", []),
+                                      sched.engine.metadata)
                 self._run_request(prompt, body, "chat")
+            elif self.path in ("/embedding", "/v1/embeddings"):
+                inputs = body.get("input", body.get("content", ""))
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                vecs = []
+                for text in inputs:
+                    req = Request(prompt=text, params=SamplingParams(),
+                                  n_predict=0, stream=False, embed=True)
+                    sched.submit(req)
+                    kind, vec, _ = req.out.get()
+                    vecs.append(vec)
+                if self.path == "/embedding":
+                    self._json(200, {"embedding": vecs[0]})
+                else:
+                    self._json(200, {
+                        "object": "list", "model": model_name,
+                        "data": [{"object": "embedding", "index": i,
+                                  "embedding": v}
+                                 for i, v in enumerate(vecs)]})
             elif self.path == "/tokenize":
                 toks = sched.engine.tokenizer.encode(
                     body.get("content", ""), special=True)
