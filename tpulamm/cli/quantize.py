@@ -52,7 +52,13 @@ def choose_type(name: str, shape, target: GGMLType, pure: bool) -> GGMLType:
 
 
 def quantize_file(src: str, dst: str, target: GGMLType, pure: bool = False,
-                  verbose: bool = True) -> None:
+                  verbose: bool = True, imatrix: str | None = None) -> None:
+    qw_map: dict = {}
+    if imatrix:
+        from tpulamm.tools.imatrix import load_imatrix
+        qw_map = load_imatrix(imatrix)
+        if verbose:
+            print(f"imatrix: importance for {len(qw_map)} tensors")
     r = GGUFReader(src)
     w = GGUFWriter(dst, alignment=r.alignment)
     for k, v in r.metadata.items():
@@ -75,7 +81,11 @@ def quantize_file(src: str, dst: str, target: GGMLType, pure: bool = False,
             total_out += info.n_bytes
             continue
         x = info.to_f32()
-        raw = formats.quantize(x, tt)
+        if name in qw_map and qw_map[name].shape[0] == x.shape[-1]:
+            from tpulamm.quant.weighted import quantize_weighted
+            raw = quantize_weighted(x, tt, qw_map[name])
+        else:
+            raw = formats.quantize(x, tt)
         w.add_tensor(name, raw, shape=info.shape, ggml_type=tt)
         total_in += info.n_bytes
         total_out += raw.nbytes
@@ -96,8 +106,12 @@ def main(argv=None):
     p.add_argument("type", choices=sorted(NAMES))
     p.add_argument("--pure", action="store_true",
                    help="disable per-tensor type promotion")
+    p.add_argument("--imatrix", default=None,
+                   help="importance matrix (.npz from tpulamm.tools.imatrix)"
+                        " for weighted rounding")
     args = p.parse_args(argv)
-    quantize_file(args.src, args.dst, NAMES[args.type], pure=args.pure)
+    quantize_file(args.src, args.dst, NAMES[args.type], pure=args.pure,
+                  imatrix=args.imatrix)
     return 0
 
 
