@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--grp-attn-n", type=int, default=1)
     p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--prompt-cache", default=None,
+                   help="session file: reuse cached KV for a matching "
+                        "prompt prefix (main.cpp:600-620)")
+    p.add_argument("--prompt-cache-ro", action="store_true",
+                   help="do not update the prompt cache file")
     p.add_argument("--cfg-negative-prompt", default=None,
                    help="negative prompt for classifier-free guidance")
     p.add_argument("--cfg-scale", type=float, default=1.0)
@@ -102,12 +107,43 @@ def main(argv=None):
         if not args.no_display_prompt:
             sys.stdout.write(text)
             sys.stdout.flush()
-        engine.generate(text, n_predict=args.n_predict, sampling=sampling,
-                        grammar=grammar,
-                        cfg_negative_prompt=args.cfg_negative_prompt,
-                        cfg_scale=args.cfg_scale,
-                        stream=lambda piece: (sys.stdout.write(piece),
-                                              sys.stdout.flush()))
+        gen_input: str | list[int] = text
+        all_tokens: list[int] = []
+        if args.prompt_cache and engine.tokenizer is not None:
+            import os
+            from tpulamm.runtime.session import load_session, save_session
+            all_tokens = engine.tokenizer.encode(text, special=True)
+            if os.path.exists(args.prompt_cache):
+                saved = load_session(args.prompt_cache, engine)
+                n = 0
+                while (n < min(len(saved), len(all_tokens)) - 1
+                       and saved[n] == all_tokens[n]):
+                    n += 1
+                if n > 0:
+                    # keep the matching prefix's KV, re-eval the rest
+                    # (prompt-cache prefix reuse, main.cpp:600-620)
+                    engine.rollback(0, n)
+                    gen_input = all_tokens[n:]
+                    print(f"prompt cache: reusing {n} of "
+                          f"{len(all_tokens)} prompt tokens",
+                          file=sys.stderr)
+                else:
+                    engine.reset_slot(0)
+                    gen_input = all_tokens
+            else:
+                gen_input = all_tokens
+        ids, _ = engine.generate(
+            gen_input, n_predict=args.n_predict, sampling=sampling,
+            grammar=grammar,
+            cfg_negative_prompt=args.cfg_negative_prompt,
+            cfg_scale=args.cfg_scale,
+            stream=lambda piece: (sys.stdout.write(piece),
+                                  sys.stdout.flush()))
+        if args.prompt_cache and not args.prompt_cache_ro \
+                and engine.tokenizer is not None:
+            from tpulamm.runtime.session import save_session
+            save_session(args.prompt_cache, engine,
+                         tokens=all_tokens + ids)
         sys.stdout.write("\n")
 
     if args.interactive:

@@ -129,6 +129,14 @@ class Engine:
                                     donate_argnums=(0,))
         self.timings.t_load = time.perf_counter() - t0
 
+    def token_pieces(self) -> list[bytes]:
+        """Raw piece bytes per token id (cached; grammar sampling input)."""
+        if not hasattr(self, "_token_pieces"):
+            assert self.tokenizer is not None
+            self._token_pieces = [self.tokenizer.token_bytes(t)
+                                  for t in range(self.cfg.vocab_size)]
+        return self._token_pieces
+
     # -- low-level ubatch execution ------------------------------------------
     def _run(self, slot: int, tokens: np.ndarray, positions: np.ndarray,
              cells: np.ndarray) -> np.ndarray:
@@ -302,6 +310,19 @@ class Engine:
         self.timings.n_eval += 1
         return logits[0]
 
+    def seq_cp(self, src: int, dst: int):
+        """Copy a slot's KV cells to another slot (llama_kv_cache_seq_cp,
+        llama.cpp:2381) — used by beam search to fork beams."""
+        if self.recurrent:
+            self.cache = type(self.cache)(
+                conv=self.cache.conv.at[:, dst].set(self.cache.conv[:, src]),
+                ssm=self.cache.ssm.at[:, dst].set(self.cache.ssm[:, src]))
+        else:
+            self.cache = kv.seq_cp(self.cache, src, dst)
+        self.n_past[dst] = self.n_past[src]
+        self.cell_pos[dst] = self.cell_pos[src]
+        self.ga_i[dst] = self.ga_i[src]
+
     # -- position surgery (device op + host cell_pos mirror) ------------------
     def seq_rm(self, slot: int, p0: int = 0, p1: int = 2**31 - 1):
         if self.recurrent:
@@ -388,8 +409,7 @@ class Engine:
             gobj = (Grammar.from_gbnf(grammar) if isinstance(grammar, str)
                     else grammar)
             assert self.tokenizer is not None, "grammar needs a tokenizer"
-            pieces = [self.tokenizer.token_bytes(t)
-                      for t in range(self.cfg.vocab_size)]
+            pieces = self.token_pieces()
         sampler = Sampler(sampling, self.cfg.vocab_size, eos_id=eos, nl_id=nl,
                           grammar=gobj, token_pieces=pieces)
         for t in tokens:

@@ -36,6 +36,7 @@ class Request:
     n_predict: int
     stream: bool
     embed: bool = False          # embedding request (pooled hidden states)
+    grammar: str | None = None   # GBNF constraint (server "grammar" param)
     out: "queue.Queue" = field(default_factory=queue.Queue)
     rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
 
@@ -117,9 +118,15 @@ class Scheduler(threading.Thread):
                 if len(tokens) >= eng.n_ctx else tokens
             eng.reset_slot(i)
             eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
-            sampler = Sampler(req.params, eng.cfg.vocab_size, eos_id=eos)
+            grammar = pieces = None
+            if getattr(req, "grammar", None):
+                from tpulamm.grammar.engine import Grammar
+                grammar = Grammar.from_gbnf(req.grammar)
+                pieces = eng.token_pieces()
+            sampler = Sampler(req.params, eng.cfg.vocab_size, eos_id=eos,
+                              grammar=grammar, token_pieces=pieces)
             for t in tokens:
-                sampler.accept(t)
+                sampler.accept(t, apply_grammar=False)
             slot.req = req
             slot.sampler = sampler
             slot.n_gen = 0
@@ -238,7 +245,8 @@ def make_handler(sched: Scheduler, model_name: str):
                                      body.get("max_tokens", 128)))
             stream = bool(body.get("stream", False))
             req = Request(prompt=prompt, params=self._params_from(body),
-                          n_predict=n_predict, stream=stream)
+                          n_predict=n_predict, stream=stream,
+                          grammar=body.get("grammar"))
             sched.submit(req)
 
             if stream:
