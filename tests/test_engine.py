@@ -127,3 +127,46 @@ def test_sampling_functions():
     smp1 = Sampler(SamplingParams(mirostat=1, seed=7), 5)
     toks = [smp1.sample(logits) for _ in range(8)]
     assert all(0 <= t < 5 for t in toks)
+
+
+def test_generate_fast_matches_host_loop(model_path):
+    """On-device lax.scan decode == host-loop greedy decode."""
+    from tpulamm.runtime.engine import Engine
+    from tpulamm.runtime.sampling import SamplingParams
+    eng = Engine(model_path, n_ctx=64)
+    plain, _ = eng.generate([1, 9, 33], n_predict=12,
+                            sampling=SamplingParams(temp=0.0,
+                                                    penalty_repeat=1.0),
+                            stop_on_eos=False)
+    eng2 = Engine(model_path, n_ctx=64)
+    fast, _ = eng2.generate_fast([1, 9, 33], n_predict=12, temp=0.0,
+                                 stop_on_eos=False)
+    assert fast == plain
+    # and the engine state stays usable for a follow-up host-loop decode
+    nxt = eng2.decode_one(0, fast[-1])
+    assert nxt.shape[-1] == eng2.cfg.vocab_size
+
+
+def test_fused_projections_match_unfused(model_path):
+    """Engine QKV/gate-up fusion must not change logits vs direct forward."""
+    import jax.numpy as jnp
+    from tpulamm.models.loader import load_model
+    from tpulamm.models.transformer import forward
+    from tpulamm.runtime.engine import Engine
+    from tpulamm.runtime.kvcache import KVCache
+
+    eng = Engine(model_path, n_ctx=32, compute_dtype="float32",
+                 kv_dtype=jnp.float32)
+    assert any("wqkv_fused" in l for l in eng.params["layers"])
+    fused_logits = eng.prefill(0, [1, 5, 9, 20])
+
+    cfg, params, _ = load_model(model_path, compute_dtype="float32")
+    cache = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+    toks = jnp.asarray([[1, 5, 9, 20]], jnp.int32)
+    pos = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    logits, _ = forward(params, cfg, toks, pos, cache,
+                        jnp.zeros((1,), jnp.int32), pos)
+    import numpy as np
+    np.testing.assert_allclose(fused_logits, np.asarray(logits)[0, -1],
+                               rtol=2e-4, atol=2e-4)

@@ -30,17 +30,28 @@ def _pp_bench(engine, n_pp: int, reps: int) -> list[float]:
     return rates[1:]
 
 
-def _tg_bench(engine, n_tg: int, reps: int) -> list[float]:
+def _tg_bench(engine, n_tg: int, reps: int, fast: bool = True) -> list[float]:
     rates = []
     for r in range(reps + 1):
         engine.reset_slot(0)
-        engine.prefill(0, [1])
-        t0 = time.perf_counter()
-        tok = 2
-        for _ in range(n_tg):
-            logits = engine.decode_one(0, tok)
-            tok = int(np.argmax(logits))
-        rates.append(n_tg / (time.perf_counter() - t0))
+        if fast:
+            # on-device lax.scan decode (the serving path)
+            engine.generate_fast([1], n_predict=2, temp=0.0,
+                                 stop_on_eos=False)   # warm compile
+            engine.reset_slot(0)
+            engine.prefill(0, [1])
+            t0 = time.perf_counter()
+            engine.generate_fast([1], n_predict=n_tg, temp=0.0,
+                                 stop_on_eos=False)
+            rates.append(n_tg / (time.perf_counter() - t0))
+        else:
+            engine.prefill(0, [1])
+            t0 = time.perf_counter()
+            tok = 2
+            for _ in range(n_tg):
+                logits = engine.decode_one(0, tok)
+                tok = int(np.argmax(logits))
+            rates.append(n_tg / (time.perf_counter() - t0))
     return rates[1:]
 
 
@@ -78,6 +89,9 @@ def main(argv=None):
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     p.add_argument("-o", "--output", choices=["md", "csv", "json"],
                    default="md")
+    p.add_argument("--host-loop", action="store_true",
+                   help="time the per-token host decode loop instead of the "
+                        "on-device lax.scan decode")
     p.add_argument("--batched", action="store_true",
                    help="batched-bench mode (pp/tg/pl grid)")
     p.add_argument("-pl", "--n-parallel", type=int, action="append",
@@ -112,11 +126,20 @@ def main(argv=None):
                     compute_dtype=args.compute_dtype)
     rows = []
     for n_pp in pps:
+        if n_pp > args.ctx_size:
+            print(f"skipping pp{n_pp}: exceeds --ctx-size {args.ctx_size}",
+                  file=sys.stderr)
+            continue
         r = _pp_bench(engine, n_pp, args.repetitions)
         rows.append({"test": f"pp{n_pp}", "t/s": statistics.mean(r),
                      "stddev": statistics.pstdev(r)})
     for n_tg in tgs:
-        r = _tg_bench(engine, n_tg, args.repetitions)
+        if n_tg + 2 > args.ctx_size:
+            print(f"skipping tg{n_tg}: exceeds --ctx-size {args.ctx_size}",
+                  file=sys.stderr)
+            continue
+        r = _tg_bench(engine, n_tg, args.repetitions,
+                      fast=not args.host_loop)
         rows.append({"test": f"tg{n_tg}", "t/s": statistics.mean(r),
                      "stddev": statistics.pstdev(r)})
 

@@ -105,9 +105,17 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     B, T, _ = h.shape
     hd = cfg.head_dim
 
-    q = _proj(h, layer["wq"], cfg, layer.get("bq"))
-    k = _proj(h, layer["wk"], cfg, layer.get("bk"))
-    v = _proj(h, layer["wv"], cfg, layer.get("bv"))
+    if layer.get("wqkv_fused") is not None:
+        # one fused kernel launch (engine optimization pass; bias folded)
+        qkv = _proj(h, layer["wqkv_fused"], cfg, layer.get("bqkv_fused"))
+        nq = cfg.n_heads * hd
+        nkv = cfg.n_kv_heads * hd
+        q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nkv],
+                   qkv[..., nq + nkv:])
+    else:
+        q = _proj(h, layer["wq"], cfg, layer.get("bq"))
+        k = _proj(h, layer["wk"], cfg, layer.get("bk"))
+        v = _proj(h, layer["wv"], cfg, layer.get("bv"))
     if cfg.clamp_kqv > 0.0:
         q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
         k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
@@ -162,6 +170,14 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
 
 def ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
     """llm_build_ffn (llama.cpp:5203): gated (PAR) when ffn_gate exists."""
+    if layer.get("wgateup_fused") is not None:
+        gu = _proj(h, layer["wgateup_fused"], cfg)
+        half = gu.shape[-1] // 2
+        gate, up = gu[..., :half], gu[..., half:]
+        mid = (_act(gate.astype(jnp.float32), cfg.ffn_act)
+               * up.astype(jnp.float32))
+        return _proj(mid.astype(cfg.cdtype), layer["w_down"], cfg,
+                     layer.get("b_down"))
     up = _proj(h, layer["w_up"], cfg, layer.get("b_up"))
     if layer.get("w_gate") is not None:
         gate = _proj(h, layer["w_gate"], cfg, layer.get("b_gate"))

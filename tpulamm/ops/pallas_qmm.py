@@ -230,8 +230,14 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
     assert k % TK == 0, f"K={k} must be a multiple of {TK}"
     assert n % 128 == 0, f"N={n} must be a multiple of 128"
     m = x.shape[0]
+    if m <= 16:
+        # decode (gemv) regime: measured best is narrow tiles + f32 unpack
+        # (tune_qmm M=1: tn=256/f32 184 GB/s vs tn=1024/bf16 83 GB/s)
+        compute_dtype = jnp.float32
+        if tn is None:
+            tn = next((c for c in (256, 128) if n % c == 0), None)
     if tn is None:
-        # widest tile wins across batch sizes on v5e (measured: M=1..128)
+        # widest tile wins at large batch (measured: M=32..128)
         for cand in (1024, 512, 256, 128):
             if n % cand == 0:
                 tn = cand

@@ -69,6 +69,21 @@ class QTensor:
         raw = quantize(np.asarray(w, np.float32), qtype)
         return cls.from_gguf_raw(raw, qtype, w.shape, layout, device)
 
+    @staticmethod
+    def concat_n(qts: list["QTensor"]) -> "QTensor":
+        """Concatenate mm-layout QTensors along N (planes carry N as the
+        last axis, so this is a plane concat). Used to fuse QKV / gate+up
+        projections into one kernel launch."""
+        first = qts[0]
+        assert all(q.layout == "mm" and q.qtype == first.qtype
+                   and q.shape[1] == first.shape[1] for q in qts)
+        planes = {name: jnp.concatenate([q.planes[name] for q in qts],
+                                        axis=-1)
+                  for name in first.planes}
+        n = sum(q.shape[0] for q in qts)
+        return QTensor(qtype=first.qtype, shape=(n, first.shape[1]),
+                       layout="mm", planes=planes)
+
 
 def unpack_mm_values(qt_planes: dict, qtype: GGMLType, k: int) -> jnp.ndarray:
     """mm planes -> integer values (K, N) as int32 (jnp; reference path).

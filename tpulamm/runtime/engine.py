@@ -83,6 +83,7 @@ class Engine:
                                             load_lora_gguf)
             self.params = apply_lora_to_qparams(
                 self.params, load_lora_gguf(lora_path), self.cfg)
+        self._fuse_projections()
         self.tokenizer = (build_tokenizer(self.metadata)
                           if "tokenizer.ggml.tokens" in self.metadata else None)
         self.n_ctx = n_ctx
@@ -128,6 +129,33 @@ class Engine:
         self._jit_seq_div = jax.jit(kv.seq_div, static_argnums=(5,),
                                     donate_argnums=(0,))
         self.timings.t_load = time.perf_counter() - t0
+
+    def _fuse_projections(self):
+        """Fuse QKV and gate+up QTensors into single kernels (plane concat
+        along N). Decode launches 7 quantized matmuls per layer otherwise;
+        fused it is 4 — a large win for the HBM/launch-bound decode step."""
+        from tpulamm.ops.qtensor import QTensor
+        for layer in self.params.get("layers", []):
+            ws = [layer.get(k) for k in ("wq", "wk", "wv")]
+            if (all(isinstance(w, QTensor) and w.layout == "mm" for w in ws)
+                    and len({w.qtype for w in ws}) == 1
+                    and not self.cfg.qk_norm):
+                layer["wqkv_fused"] = QTensor.concat_n(ws)
+                if any(layer.get(b) is not None
+                       for b in ("bq", "bk", "bv")):
+                    import jax.numpy as _jnp
+                    bs = [layer.get(b) for b in ("bq", "bk", "bv")]
+                    bs = [b if b is not None
+                          else _jnp.zeros((w.shape[0],), _jnp.float32)
+                          for b, w in zip(bs, ws)]
+                    layer["bqkv_fused"] = _jnp.concatenate(bs)
+            gu = [layer.get("w_gate"), layer.get("w_up")]
+            if (all(isinstance(w, QTensor) and w.layout == "mm" for w in gu)
+                    and gu[0].qtype == gu[1].qtype
+                    and gu[0].shape == gu[1].shape
+                    and layer.get("b_gate") is None
+                    and layer.get("b_up") is None):
+                layer["wgateup_fused"] = QTensor.concat_n(gu)
 
     def token_pieces(self) -> list[bytes]:
         """Raw piece bytes per token id (cached; grammar sampling input)."""
@@ -380,6 +408,86 @@ class Engine:
             self.seq_add(slot, i + ib * bd + ga_w, np_ + ib * bd, dd)
             self.n_past[slot] += bd + dd
             self.ga_i[slot] += ga_w // ga_n
+
+    # -- on-device decode loop -------------------------------------------------
+    DECODE_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+    def _build_decode_scan(self):
+        """Jitted lax.scan decode: N tokens per dispatch, sampling on
+        device. This is the TPU-native answer to the reference's per-token
+        eval loop — decode is HBM-bound and tiny per token, so host
+        round-trips dominate unless the loop lives on device."""
+        cfg = self.cfg
+        if self.recurrent:
+            from tpulamm.models.mamba import forward as model_forward
+        else:
+            model_forward = forward
+
+        def run(params, cache, first_tok, start_pos, slot, n_steps, key,
+                temp, top_k):
+            def step(carry, _):
+                cache, tok, pos, key = carry
+                # fresh-slot decode: cell index == position
+                logits, cache = model_forward(
+                    params, cfg, tok[None, None], pos[None, None], cache,
+                    slot[None], pos[None, None])
+                lg = logits[0, 0]
+                key, sub = jax.random.split(key)
+                # top-k + temperature on device; temp<=0 -> greedy
+                kv_, ki = jax.lax.top_k(lg, top_k)
+                sampled = ki[jax.random.categorical(sub, kv_ / jnp.maximum(
+                    temp, 1e-6))]
+                nxt = jnp.where(temp > 0.0, sampled,
+                                jnp.argmax(lg).astype(ki.dtype))
+                return (cache, nxt.astype(jnp.int32), pos + 1, key), nxt
+            (cache, _, _, _), toks = jax.lax.scan(
+                step, (cache, first_tok, start_pos, key), None,
+                length=n_steps)
+            return toks, cache
+
+        return jax.jit(run, static_argnums=(5, 8), donate_argnums=(1,))
+
+    def generate_fast(self, prompt, *, n_predict: int = 128,
+                      temp: float = 0.0, top_k: int = 40, seed: int = 0,
+                      slot: int = 0, stop_on_eos: bool = True):
+        """Fast generation: prefill + on-device lax.scan decode.
+
+        Supports greedy and temperature/top-k sampling (penalties, grammar,
+        CFG need the host loop — use generate()). Requires a fresh slot
+        (cells are allocated contiguously inside the scan). Returns
+        (token_ids, text)."""
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None
+            tokens = self.tokenizer.encode(prompt, special=True)
+        else:
+            tokens = list(prompt)
+        self.reset_slot(slot)
+        t0 = time.perf_counter()
+        logits = self.prefill(slot, tokens)
+        first = int(np.argmax(logits))   # first token greedy; rest on device
+        if not hasattr(self, "_decode_scan"):
+            self._decode_scan = self._build_decode_scan()
+        n = next((b for b in self.DECODE_BUCKETS if b >= n_predict - 1),
+                 self.DECODE_BUCKETS[-1])
+        n = min(n, self.n_ctx - int(self.n_past[slot]) - 1)
+        start = int(self.n_past[slot])
+        toks, self.cache = self._decode_scan(
+            self.params, self.cache, jnp.int32(first), jnp.int32(start),
+            jnp.int32(slot), n, jax.random.PRNGKey(seed),
+            jnp.float32(temp), int(top_k))
+        toks = np.asarray(toks)
+        out = [first] + [int(t) for t in toks[:n_predict - 1]]
+        # host mirrors: scan step i wrote the carry token's KV at cell/pos
+        # start+i, i.e. cells start..start+n-1
+        self.n_past[slot] = start + n
+        self.cell_pos[slot, start:start + n] = np.arange(start, start + n)
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += len(out)
+        eos = self.tokenizer.vocab.eos_id if self.tokenizer else 2
+        if stop_on_eos and eos in out:
+            out = out[:out.index(eos)]
+        text = self.tokenizer.decode(out) if self.tokenizer else ""
+        return out, text
 
     # -- generation -------------------------------------------------------------
     def generate(self, prompt: str | list[int], *, n_predict: int = 128,
