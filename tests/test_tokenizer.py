@@ -90,3 +90,43 @@ def test_decode_pieces(tok):
     # control tokens render empty unless special=True
     assert tok.decode([1, tok.token_to_id["▁hi"]]) == " hi"
     assert tok.decode([1], special=True) == "<s>"
+
+
+def test_native_spm_matches_python():
+    """native/tl_tokenizer.cpp must produce identical ids to the Python
+    reference merge loop on realistic vocabs and random unicode text."""
+    import random
+    from tpulamm.quant.native import get_lib
+    from tpulamm.tokenizer.spm import SPMTokenizer, Vocab
+    if get_lib() is None or not hasattr(get_lib(), "tl_spm_new"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(0)
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>"); types.append(6)
+    words = ["▁the", "▁cat", "▁do", "▁dog", "do", "og", "▁d", "c", "at",
+             "▁ca", "▁c", "th", "▁t", "he", "▁th", "e", "▁", "a", "t",
+             "▁a", "▁an", "and", "▁and", "n", "d", "o", "g", "he▁", "sat",
+             "▁s", "▁sat", "語", "日本", "▁日本語", "é", "caf", "▁café"]
+    scores = [0.0] * len(tokens) + [-float(i + 1) for i in range(len(words))]
+    tokens += words
+    types += [1] * len(words)
+    v = Vocab(tokens=tokens, scores=scores, token_types=types)
+    tok = SPMTokenizer(v)
+    assert tok._native is not None
+
+    # python-only twin
+    tok_py = SPMTokenizer(v)
+    tok_py._native = None
+
+    cases = ["the cat sat", "a dog and a cat", "日本語 café",
+             "the the the", "", " ", "xyz unknown ★ bytes",
+             "café au lait", "and and and the dog"]
+    for _ in range(40):
+        cases.append("".join(rng.choice("the catdogandé日本語 ★x")
+                             for _ in range(rng.randint(1, 60))))
+    for text in cases:
+        assert tok.encode(text) == tok_py.encode(text), repr(text)

@@ -98,10 +98,49 @@ def partition_specials(text: str, special: list[tuple[str, int]]):
     return fragments
 
 
+def _native_spm_handle(vocab: "Vocab"):
+    """Build a native tokenizer handle (native/tl_tokenizer.cpp) — the
+    C++ heap-merge core used for bulk tokenization (perplexity corpora,
+    training data); None when the native library is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    from tpulamm.quant.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tl_spm_new"):
+        return None
+    if not getattr(lib, "_spm_proto_done", False):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.tl_spm_new.argtypes = [ctypes.c_char_p, i64p, f32p, i32p,
+                                   ctypes.c_int32, ctypes.c_int32]
+        lib.tl_spm_new.restype = ctypes.c_void_p
+        lib.tl_spm_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int64, i32p, ctypes.c_int32]
+        lib.tl_spm_encode.restype = ctypes.c_int32
+        lib.tl_spm_free.argtypes = [ctypes.c_void_p]
+        lib._spm_proto_done = True
+    toks = [t.encode("utf-8") for t in vocab.tokens]
+    blob = b"".join(toks)
+    offsets = np.zeros(len(toks) + 1, np.int64)
+    np.cumsum([len(t) for t in toks], out=offsets[1:])
+    scores = np.asarray(vocab.scores, np.float32)
+    types = np.asarray(vocab.token_types, np.int32)
+    h = lib.tl_spm_new(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(toks), vocab.unk_id)
+    return (lib, h) if h else None
+
+
 class SPMTokenizer:
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
         self.token_to_id = {t: i for i, t in enumerate(vocab.tokens)}
+        self._native = _native_spm_handle(vocab)
         self.byte_tokens: dict[int, int] = {}
         for b in range(256):
             tid = self.token_to_id.get(f"<0x{b:02X}>")
@@ -186,6 +225,18 @@ class SPMTokenizer:
         data = text.encode("utf-8")
         if not data:
             return
+        if self._native is not None:
+            import ctypes
+
+            import numpy as np
+            lib, h = self._native
+            buf = np.empty(2 * len(data) + 8, np.int32)
+            n = lib.tl_spm_encode(
+                h, data, len(data),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), buf.size)
+            if 0 <= n <= buf.size:
+                out.extend(int(t) for t in buf[:n])
+                return
         # split into utf-8 characters (byte spans)
         spans: list[tuple[int, int]] = []   # (start, n_bytes); n=0 => merged
         i = 0
