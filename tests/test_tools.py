@@ -184,3 +184,44 @@ def test_kl_divergence_self_is_zero(model_path, tmp_path):
     eng_q = Engine(qpath, n_ctx=96, compute_dtype="float32")
     res_q = kl_divergence(eng_q, base)
     assert res_q["kl_mean"] > res["kl_mean"]
+
+
+def test_grammar_files_parse_and_accept():
+    """Shipped grammars/*.gbnf parse and accept representative strings."""
+    import pathlib
+    from tpulamm.grammar.engine import Grammar
+    root = pathlib.Path(__file__).resolve().parents[1] / "grammars"
+    gjson = Grammar.from_gbnf((root / "json.gbnf").read_text())
+    for ch in '{"a": [1, -2.5e3, "x"], "b": {"c": null}}':
+        gjson.accept_token(ch.encode())
+    assert gjson.can_stop()
+    garith = Grammar.from_gbnf((root / "arithmetic.gbnf").read_text())
+    for ch in "x1+2*(y-3)=42\n":
+        garith.accept_token(ch.encode())
+    assert garith.can_stop()
+    glist = Grammar.from_gbnf((root / "list.gbnf").read_text())
+    for ch in "- one\n- two\n":
+        glist.accept_token(ch.encode())
+    assert glist.can_stop()
+
+
+def test_override_kv_and_tokenize_dump(model_path, capsys):
+    from tpulamm.models.loader import load_model, parse_kv_override
+    key, val = parse_kv_override("llama.rope.freq_base=float:123.0")
+    cfg, _, _ = load_model(model_path, kv_overrides={key: val})
+    assert cfg.rope.freq_base == 123.0
+    import pytest
+    with pytest.raises(ValueError):
+        parse_kv_override("novalue")
+    with pytest.raises(ValueError):
+        parse_kv_override("k=badtype:1")
+
+    from tpulamm.cli.gguf_dump import main as dump_main
+    dump_main([model_path, "--no-tensors"])
+    out = capsys.readouterr().out
+    assert "general.architecture" in out and "GGUF v" in out
+
+    from tpulamm.cli.tokenize import main as tok_main
+    tok_main(["-m", model_path, "-p", "the cat", "--ids"])
+    ids = capsys.readouterr().out.split()
+    assert all(t.isdigit() for t in ids) and len(ids) > 2

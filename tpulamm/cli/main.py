@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--grp-attn-n", type=int, default=1)
     p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--override-kv", action="append", default=[],
+                   metavar="KEY=TYPE:VALUE",
+                   help="override a GGUF metadata value "
+                        "(e.g. llama.rope.freq_base=float:1000000)")
+    p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
+                   choices=["float32", "bfloat16", "float16"],
+                   help="KV cache storage dtype")
     p.add_argument("--prompt-cache", default=None,
                    help="session file: reuse cached KV for a matching "
                         "prompt prefix (main.cpp:600-620)")
@@ -80,11 +87,16 @@ def main(argv=None):
         with open(args.file) as f:
             prompt = f.read()
 
+    import jax.numpy as jnp
+
+    from tpulamm.models.loader import parse_kv_override
+    overrides = dict(parse_kv_override(s) for s in args.override_kv) or None
     engine = Engine(args.model, n_ctx=args.ctx_size, n_ubatch=args.batch_size,
                     n_slots=2 if args.cfg_negative_prompt else 1,
                     compute_dtype=args.compute_dtype,
+                    kv_dtype=jnp.dtype(args.cache_type_k),
                     grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w,
-                    lora_path=args.lora)
+                    lora_path=args.lora, kv_overrides=overrides)
 
     sampling = SamplingParams(
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,

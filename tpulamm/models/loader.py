@@ -203,10 +203,31 @@ def _layer_params(tm: _TensorMap, cfg: ModelConfig, i: int) -> dict[str, Any]:
     return out
 
 
-def load_model(path: str, *, compute_dtype: str | None = None
+def parse_kv_override(s: str) -> tuple[str, Any]:
+    """Parse a --override-kv item 'key=type:value' (llama_model_kv_override
+    format, common.cpp): types int, float, bool, str."""
+    key, _, tv = s.partition("=")
+    typ, _, val = tv.partition(":")
+    if not key or not typ or val == "":
+        raise ValueError(f"bad --override-kv {s!r}; want KEY=TYPE:VALUE")
+    cast = {"int": int, "float": float, "str": str,
+            "bool": lambda v: v.lower() in ("1", "true", "yes")}.get(typ)
+    if cast is None:
+        raise ValueError(f"bad --override-kv type {typ!r} "
+                         "(int|float|bool|str)")
+    return key, cast(val)
+
+
+def load_model(path: str, *, compute_dtype: str | None = None,
+               kv_overrides: dict[str, Any] | None = None
                ) -> tuple[ModelConfig, dict[str, Any], dict]:
-    """Returns (config, params, metadata). metadata retains tokenizer KVs."""
+    """Returns (config, params, metadata). metadata retains tokenizer KVs.
+
+    kv_overrides: GGUF metadata overrides applied before hparam parsing
+    (llama_model_kv_override, llama.cpp:2755 / --override-kv)."""
     reader = GGUFReader(path)
+    if kv_overrides:
+        reader.metadata.update(kv_overrides)
     cfg = config_from_metadata(reader.metadata)
     if compute_dtype:
         cfg.compute_dtype = compute_dtype

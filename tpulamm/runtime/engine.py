@@ -73,10 +73,11 @@ class Engine:
                  n_slots: int = 1, n_ubatch: int = 512,
                  compute_dtype: str | None = None, kv_dtype=jnp.bfloat16,
                  grp_attn_n: int = 1, grp_attn_w: int = 512,
-                 lora_path: str | None = None):
+                 lora_path: str | None = None, kv_overrides=None):
         t0 = time.perf_counter()
         self.cfg, self.params, self.metadata = load_model(
-            model_path, compute_dtype=compute_dtype)
+            model_path, compute_dtype=compute_dtype,
+            kv_overrides=kv_overrides)
         if lora_path:
             # llama_model_apply_lora_from_file parity (llama.h:436)
             from tpulamm.train.lora import (apply_lora_to_qparams,
