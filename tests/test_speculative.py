@@ -121,3 +121,46 @@ def test_rollback_restores_state(model_path):
     eng.rollback(0, base)
     logits2 = eng.decode_one(0, 11)
     np.testing.assert_allclose(logits2, ref_logits, rtol=1e-5, atol=1e-5)
+
+
+def test_segmented_eval_mask(model_path):
+    """Segment ranges gate attention: a probe token in segment A must see
+    main-sequence keys but not segment-B keys at lower positions."""
+    import jax.numpy as jnp
+    eng = Engine(model_path, n_ctx=64, compute_dtype="float32")
+    eng.prefill(0, PROMPT)
+    n = int(eng.n_past[0])
+
+    def pack(lo, hi):
+        return lo | (hi << 16)
+
+    # two parallel branch tokens at the same positions, different segments,
+    # then a probe in each segment one position later
+    toks = np.array([11, 23, 40, 40], np.int32)
+    poss = np.array([n, n, n + 1, n + 1], np.int32)
+    segs = np.array([pack(1, 1), pack(2, 2), pack(1, 1), pack(2, 2)],
+                    np.int32)
+    logits = eng.eval_segmented(0, toks, poss, segs)
+    # identical probe token, same position, different branch history (11 vs
+    # 23) -> different logits; same-branch pairs must differ too
+    assert not np.allclose(logits[2], logits[3], atol=1e-5)
+    eng.rollback(0, n)
+
+    # control: identical branch histories -> identical probe logits
+    toks2 = np.array([11, 11, 40, 40], np.int32)
+    logits2 = eng.eval_segmented(0, toks2, poss, segs)
+    np.testing.assert_allclose(logits2[2], logits2[3], rtol=1e-5, atol=1e-5)
+    eng.rollback(0, n)
+
+
+def test_lookahead_matches_greedy(model_path):
+    from tpulamm.runtime.lookahead import generate_lookahead
+    eng = Engine(model_path, n_ctx=128)
+    plain, _ = eng.generate(PROMPT, n_predict=20, **GREEDY)
+
+    eng2 = Engine(model_path, n_ctx=128)
+    la, _, stats = generate_lookahead(eng2, PROMPT, n_predict=20,
+                                      sampling=SamplingParams(temp=0.0),
+                                      W=4, N=3, G=4, stop_on_eos=False)
+    assert la == plain
+    assert stats.n_target_steps > 0

@@ -18,6 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--model", required=True, help="target model GGUF")
     p.add_argument("-md", "--model-draft", default=None,
                    help="draft model GGUF (omit for prompt-lookup mode)")
+    p.add_argument("--lookahead", action="store_true",
+                   help="lookahead decoding (Jacobi window + n-gram pool; "
+                        "examples/lookahead parity)")
+    p.add_argument("-lw", "--lookahead-w", type=int, default=8)
+    p.add_argument("-ln", "--lookahead-n", type=int, default=4)
+    p.add_argument("-lg", "--lookahead-g", type=int, default=8)
     p.add_argument("-p", "--prompt", default="")
     p.add_argument("-n", "--n-predict", type=int, default=128)
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
@@ -45,7 +51,13 @@ def main(argv=None):
     stream = lambda piece: (sys.stdout.write(piece), sys.stdout.flush())  # noqa: E731
     sys.stdout.write(args.prompt)
 
-    if args.model_draft:
+    if args.lookahead:
+        from tpulamm.runtime.lookahead import generate_lookahead
+        _, _, stats = generate_lookahead(
+            target, args.prompt, n_predict=args.n_predict, sampling=sampling,
+            W=args.lookahead_w, N=args.lookahead_n, G=args.lookahead_g,
+            stream=stream)
+    elif args.model_draft:
         draft = Engine(args.model_draft, n_ctx=args.ctx_size)
         _, _, stats = generate_speculative(
             target, draft, args.prompt, n_predict=args.n_predict,

@@ -114,14 +114,16 @@ def _ssm_scan(x: jnp.ndarray, dt: jnp.ndarray, A: jnp.ndarray,
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, state: MambaState,
-            slots: jnp.ndarray, cells: jnp.ndarray = None
+            slots: jnp.ndarray, cells: jnp.ndarray = None,
+            segs: jnp.ndarray | None = None
             ) -> tuple[jnp.ndarray, MambaState]:
     """tokens/positions: (B, T); slots: (B,) -> (logits f32, state).
 
-    Signature-compatible with transformer.forward (cells is ignored) so the
-    decode engine can drive either family.
+    Signature-compatible with transformer.forward (cells/segs ignored —
+    a recurrent state has no attention mask) so the decode engine can
+    drive either family.
     """
-    del cells
+    del cells, segs
     B, T = tokens.shape
     valid = (positions >= 0).astype(jnp.float32)
     h = embed(params, cfg, tokens).astype(jnp.float32)

@@ -101,7 +101,8 @@ def embed(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
 
 def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
               positions: jnp.ndarray, cache: KVCache, layer_idx: int,
-              slots: jnp.ndarray, cells: jnp.ndarray) -> tuple:
+              slots: jnp.ndarray, cells: jnp.ndarray,
+              segs: jnp.ndarray | None = None) -> tuple:
     B, T, _ = h.shape
     hd = cfg.head_dim
 
@@ -134,7 +135,7 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     q = apply_rope(q, positions, cfg.rope)
     k = apply_rope(k, positions, cfg.rope)
 
-    cache = write_kv(cache, layer_idx, k, v, slots, cells, positions)
+    cache = write_kv(cache, layer_idx, k, v, slots, cells, positions, segs)
 
     kc = cache.k[layer_idx, slots]                     # (B, S, Hkv, D)
     vc = cache.v[layer_idx, slots]
@@ -160,6 +161,17 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
         mask = live & (kpos[:, None, :] <= positions[:, :, None])
     else:
         mask = jnp.broadcast_to(live, (B, T, kpos.shape[-1]))
+    if segs is not None:
+        # segment visibility (multi-seq_id batch masks, lookahead decoding):
+        # key seg 0 = main sequence, visible to all; otherwise the query's
+        # segment id must fall in the key's packed [lo, hi] range
+        kseg = cache.seg[slots]                        # (B, S) packed
+        klo = kseg & 0xFFFF
+        khi = kseg >> 16
+        qid = (segs & 0xFFFF)[:, :, None]              # (B, T, 1)
+        seg_ok = (klo[:, None, :] == 0) | \
+            ((klo[:, None, :] <= qid) & (qid <= khi[:, None, :]))
+        mask = mask & seg_ok
     mask = mask[:, None, None, :, :]                   # (B, 1, 1, T, S)
 
     probs = masked_softmax(scores, mask)
@@ -227,7 +239,8 @@ def _layer_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, cache: KVCache, slots: jnp.ndarray,
-            cells: jnp.ndarray) -> tuple[jnp.ndarray, KVCache]:
+            cells: jnp.ndarray,
+            segs: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
     """tokens/positions/cells: (B, T); slots: (B,) -> (logits f32, cache).
 
     For embedding archs (bert) with no lm head, returns final hidden states
@@ -251,7 +264,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.post_norm:
             # bert topology: x -> attn -> +res -> LN -> ffn -> +res -> LN
             attn_out, cache = attention(layer, cfg, h, positions, cache, il,
-                                        slots, cells)
+                                        slots, cells, segs)
             h = _norm((h + attn_out).astype(cfg.cdtype), layer,
                       "attn_out_norm", cfg)
             h = _norm((h + _layer_ffn(layer, cfg, h)).astype(cfg.cdtype),
@@ -262,13 +275,13 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             ha = (_norm(h, layer, "attn_norm_2", cfg)
                   if layer.get("attn_norm_2") is not None else hn)
             attn_out, cache = attention(layer, cfg, ha, positions, cache, il,
-                                        slots, cells)
+                                        slots, cells, segs)
             ffn_out = _layer_ffn(layer, cfg, hn)
             h = (h + attn_out + ffn_out).astype(cfg.cdtype)
         else:
             hn = _norm(h, layer, "attn_norm", cfg)
             attn_out, cache = attention(layer, cfg, hn, positions, cache, il,
-                                        slots, cells)
+                                        slots, cells, segs)
             if cfg.res_scale != 1.0:
                 attn_out = attn_out * cfg.res_scale
             h = (h + attn_out).astype(cfg.cdtype)

@@ -89,6 +89,7 @@ def shard_cache(cache, mesh: Mesh):
         k=_put(cache.k, mesh, kv_spec),
         v=_put(cache.v, mesh, kv_spec),
         pos=_put(cache.pos, mesh, P("dp", None)),
+        seg=_put(cache.seg, mesh, P("dp", None)),
     )
 
 

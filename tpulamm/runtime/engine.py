@@ -305,6 +305,39 @@ class Engine:
             return h[0]
         return h[-1]                                 # last (causal default)
 
+    def eval_segmented(self, slot: int, tokens: np.ndarray,
+                       positions: np.ndarray,
+                       segs: np.ndarray) -> np.ndarray:
+        """Evaluate a compound batch with explicit per-token positions and
+        packed segment ranges (lo|hi<<16); returns logits at every position.
+
+        This is the multi-seq_id batch primitive behind lookahead decoding
+        (the reference expresses it with per-token seq_id lists)."""
+        assert not self.recurrent, "segmented eval needs attention"
+        if not hasattr(self, "_seg_step"):
+            cfg = self.cfg
+
+            def sstep(params, toks, pos, cache, slots, cells, segs):
+                return forward(params, cfg, toks, pos, cache, slots, cells,
+                               segs)
+            self._seg_step = jax.jit(sstep, donate_argnums=(3,))
+        t = len(tokens)
+        cells = self._cells_for(slot, t, np.asarray(positions))
+        bucket = next(b for b in PREFILL_BUCKETS if b >= t)
+        tok = np.zeros(bucket, np.int32)
+        tok[:t] = tokens
+        pos = np.full(bucket, -1, np.int32)
+        pos[:t] = positions
+        sg = np.zeros(bucket, np.int32)
+        sg[:t] = segs
+        cel = np.full(bucket, self.n_ctx, np.int32)
+        cel[:t] = cells
+        logits, self.cache = self._seg_step(
+            self.params, jnp.asarray(tok)[None], jnp.asarray(pos)[None],
+            self.cache, jnp.full((1,), slot, jnp.int32),
+            jnp.asarray(cel)[None], jnp.asarray(sg)[None])
+        return np.asarray(logits[0, :t])
+
     def eval_tokens(self, slot: int, tokens: list[int]) -> np.ndarray:
         """Evaluate a token chunk, returning logits at every position
         ((T, vocab)); used by speculative/lookup verification."""

@@ -36,9 +36,17 @@ class KVCache:
     k: jax.Array            # (L, B, S, H_kv, D) — roped keys
     v: jax.Array            # (L, B, S, H_kv, D)
     pos: jax.Array          # (B, S) int32, -1 = empty cell
+    seg: jax.Array = None   # (B, S) int32 packed segment range lo|hi<<16;
+    #                         0 = main sequence (visible to every query).
+    #                         Non-zero segments implement the reference's
+    #                         multi-seq_id batch masks (lookahead decoding).
+
+    def __post_init__(self):
+        if self.seg is None:
+            self.seg = jnp.zeros_like(self.pos)
 
     def tree_flatten(self):
-        return (self.k, self.v, self.pos), None
+        return (self.k, self.v, self.pos, self.seg), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -53,6 +61,7 @@ class KVCache:
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             pos=jnp.full((n_slots, n_ctx), -1, jnp.int32),
+            seg=jnp.zeros((n_slots, n_ctx), jnp.int32),
         )
 
     @property
@@ -95,7 +104,8 @@ def seq_cp(cache: KVCache, src: int, dst: int) -> KVCache:
     k = cache.k.at[:, dst].set(cache.k[:, src])
     v = cache.v.at[:, dst].set(cache.v[:, src])
     pos = cache.pos.at[dst].set(cache.pos[src])
-    return KVCache(k=k, v=v, pos=pos)
+    seg = cache.seg.at[dst].set(cache.seg[src])
+    return KVCache(k=k, v=v, pos=pos, seg=seg)
 
 
 def seq_keep(cache: KVCache, slot: int) -> KVCache:
@@ -116,7 +126,7 @@ def seq_add(cache: KVCache, slot, p0, p1, delta: int,
     new_pos = jnp.where(m, cache.pos + delta, cache.pos)
     k = _apply_pos_change(cache, m, new_pos, rope)
     new_pos = jnp.where(new_pos < 0, -1, new_pos)
-    return KVCache(k=k, v=cache.v, pos=new_pos)
+    return KVCache(k=k, v=cache.v, pos=new_pos, seg=cache.seg)
 
 
 def seq_div(cache: KVCache, slot, p0, p1, d: int, rope: RopeParams) -> KVCache:
@@ -125,7 +135,7 @@ def seq_div(cache: KVCache, slot, p0, p1, d: int, rope: RopeParams) -> KVCache:
     m = _range_mask(cache.pos, slot, p0, p1)
     new_pos = jnp.where(m, cache.pos // d, cache.pos)
     k = _apply_pos_change(cache, m, new_pos, rope)
-    return KVCache(k=k, v=cache.v, pos=new_pos)
+    return KVCache(k=k, v=cache.v, pos=new_pos, seg=cache.seg)
 
 
 def _apply_pos_change(cache: KVCache, mask: jnp.ndarray,
@@ -148,14 +158,16 @@ def defrag(cache: KVCache) -> KVCache:
     # stable order: live cells first, keeping relative order
     order = jnp.argsort(jnp.where(live, jnp.arange(s)[None, :], s + jnp.arange(s)[None, :]), axis=-1)
     pos = jnp.take_along_axis(jnp.where(live, cache.pos, -1), order, axis=-1)
+    seg = jnp.take_along_axis(cache.seg, order, axis=-1)
     k = jnp.take_along_axis(cache.k, order[None, :, :, None, None], axis=2)
     v = jnp.take_along_axis(cache.v, order[None, :, :, None, None], axis=2)
-    return KVCache(k=k, v=v, pos=pos)
+    return KVCache(k=k, v=v, pos=pos, seg=seg)
 
 
 def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
              v_new: jnp.ndarray, slots: jnp.ndarray,
-             cells: jnp.ndarray, positions: jnp.ndarray) -> KVCache:
+             cells: jnp.ndarray, positions: jnp.ndarray,
+             segs: jnp.ndarray | None = None) -> KVCache:
     """Store roped K / V for a ubatch (llm_build_kv_store equivalent).
 
     k_new/v_new: (B, T, H_kv, D); slots: (B,) slot ids; cells: (B, T) cell
@@ -165,5 +177,10 @@ def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
     b_idx = slots[:, None]
     k = cache.k.at[layer, b_idx, cells].set(k_new.astype(cache.k.dtype))
     v = cache.v.at[layer, b_idx, cells].set(v_new.astype(cache.v.dtype))
-    pos = cache.pos if layer != 0 else cache.pos.at[b_idx, cells].set(positions)
-    return KVCache(k=k, v=v, pos=pos)
+    if layer != 0:
+        pos, seg = cache.pos, cache.seg
+    else:
+        pos = cache.pos.at[b_idx, cells].set(positions)
+        seg = cache.seg.at[b_idx, cells].set(
+            segs if segs is not None else jnp.zeros_like(positions))
+    return KVCache(k=k, v=v, pos=pos, seg=seg)

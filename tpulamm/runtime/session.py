@@ -33,6 +33,7 @@ def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
         v=np.asarray(cache.v).view(np.uint16)
         if cache.v.dtype == jnp.bfloat16 else np.asarray(cache.v),
         pos=np.asarray(cache.pos),
+        seg=np.asarray(cache.seg),
         n_past=engine.n_past,
         cell_pos=engine.cell_pos,
         ga_i=engine.ga_i,
@@ -60,8 +61,10 @@ def load_session(path: str, engine) -> list[int]:
     if kd == "bfloat16":
         k = jnp.asarray(k).view(jnp.bfloat16)
         v = jnp.asarray(v).view(jnp.bfloat16)
+    seg = (jnp.asarray(z["seg"]) if "seg" in z.files
+           else jnp.zeros_like(jnp.asarray(z["pos"])))
     engine.cache = KVCache(k=jnp.asarray(k), v=jnp.asarray(v),
-                           pos=jnp.asarray(z["pos"]))
+                           pos=jnp.asarray(z["pos"]), seg=seg)
     engine.n_past = z["n_past"].copy()
     engine.cell_pos = z["cell_pos"].copy()
     engine.ga_i = z["ga_i"].copy()
