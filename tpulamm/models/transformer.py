@@ -137,8 +137,8 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
 
     cache = write_kv(cache, layer_idx, k, v, slots, cells, positions, segs)
 
-    kc = cache.k[layer_idx, slots]                     # (B, S, Hkv, D)
-    vc = cache.v[layer_idx, slots]
+    kc = cache.k[layer_idx][slots]                     # (B, S, Hkv, D)
+    vc = cache.v[layer_idx][slots]
     group = cfg.n_heads // cfg.n_kv_heads
 
     qg = q.reshape(B, T, cfg.n_kv_heads, group, hd)

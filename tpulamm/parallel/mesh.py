@@ -84,10 +84,10 @@ def shard_llama_params(params: dict, mesh: Mesh, tp_axis: str = "tp") -> dict:
 def shard_cache(cache, mesh: Mesh):
     """KVCache (L, B, S, H, D): batch on dp, kv heads on tp."""
     from tpulamm.runtime.kvcache import KVCache
-    kv_spec = P(None, "dp", None, "tp", None)
+    kv_spec = P("dp", None, "tp", None)
     return KVCache(
-        k=_put(cache.k, mesh, kv_spec),
-        v=_put(cache.v, mesh, kv_spec),
+        k=[_put(x, mesh, kv_spec) for x in cache.k],
+        v=[_put(x, mesh, kv_spec) for x in cache.v],
         pos=_put(cache.pos, mesh, P("dp", None)),
         seg=_put(cache.seg, mesh, P("dp", None)),
     )

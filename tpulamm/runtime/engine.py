@@ -458,7 +458,7 @@ class Engine:
             model_forward = forward
 
         def run(params, cache, first_tok, start_pos, slot, n_steps, key,
-                temp, top_k):
+                temp, top_k, greedy):
             def step(carry, _):
                 cache, tok, pos, key = carry
                 # fresh-slot decode: cell index == position
@@ -466,20 +466,20 @@ class Engine:
                     params, cfg, tok[None, None], pos[None, None], cache,
                     slot[None], pos[None, None])
                 lg = logits[0, 0]
-                key, sub = jax.random.split(key)
-                # top-k + temperature on device; temp<=0 -> greedy
-                kv_, ki = jax.lax.top_k(lg, top_k)
-                sampled = ki[jax.random.categorical(sub, kv_ / jnp.maximum(
-                    temp, 1e-6))]
-                nxt = jnp.where(temp > 0.0, sampled,
-                                jnp.argmax(lg).astype(ki.dtype))
-                return (cache, nxt.astype(jnp.int32), pos + 1, key), nxt
+                if greedy:
+                    nxt = jnp.argmax(lg).astype(jnp.int32)
+                else:
+                    key, sub = jax.random.split(key)
+                    kv_, ki = jax.lax.top_k(lg, top_k)
+                    nxt = ki[jax.random.categorical(
+                        sub, kv_ / jnp.maximum(temp, 1e-6))].astype(jnp.int32)
+                return (cache, nxt, pos + 1, key), nxt
             (cache, _, _, _), toks = jax.lax.scan(
                 step, (cache, first_tok, start_pos, key), None,
                 length=n_steps)
             return toks, cache
 
-        return jax.jit(run, static_argnums=(5, 8), donate_argnums=(1,))
+        return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
 
     def generate_fast(self, prompt, *, n_predict: int = 128,
                       temp: float = 0.0, top_k: int = 40, seed: int = 0,
@@ -508,7 +508,7 @@ class Engine:
         toks, self.cache = self._decode_scan(
             self.params, self.cache, jnp.int32(first), jnp.int32(start),
             jnp.int32(slot), n, jax.random.PRNGKey(seed),
-            jnp.float32(temp), int(top_k))
+            jnp.float32(temp), int(top_k), temp <= 0.0)
         toks = np.asarray(toks)
         out = [first] + [int(t) for t in toks[:n_predict - 1]]
         # host mirrors: scan step i wrote the carry token's KV at cell/pos

@@ -33,8 +33,14 @@ from tpulamm.ops.rope import RopeParams, apply_rope
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jax.Array            # (L, B, S, H_kv, D) — roped keys
-    v: jax.Array            # (L, B, S, H_kv, D)
+    # k/v are PER-LAYER lists of (B, S, H_kv, D) arrays (roped keys/values).
+    # A stacked (L, B, S, H, D) tensor forces XLA to materialize the whole
+    # cache on every per-layer scatter inside jit/scan; separate buffers
+    # keep each layer's update in place (measured: decode tok/s stops
+    # degrading with n_ctx). The reference's kv_self.k_l/v_l are per-layer
+    # tensors for the same reason (llama.cpp:1841).
+    k: list            # L x (B, S, H_kv, D)
+    v: list            # L x (B, S, H_kv, D)
     pos: jax.Array          # (B, S) int32, -1 = empty cell
     seg: jax.Array = None   # (B, S) int32 packed segment range lo|hi<<16;
     #                         0 = main sequence (visible to every query).
@@ -46,31 +52,40 @@ class KVCache:
             self.seg = jnp.zeros_like(self.pos)
 
     def tree_flatten(self):
-        return (self.k, self.v, self.pos, self.seg), None
+        return (tuple(self.k), tuple(self.v), self.pos, self.seg), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        k, v, pos, seg = children
+        return cls(list(k), list(v), pos, seg)
 
     # -- construction -------------------------------------------------------
     @staticmethod
     def create(n_layers: int, n_slots: int, n_ctx: int, n_kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (n_layers, n_slots, n_ctx, n_kv_heads, head_dim)
+        shape = (n_slots, n_ctx, n_kv_heads, head_dim)
         return KVCache(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=[jnp.zeros(shape, dtype) for _ in range(n_layers)],
+            v=[jnp.zeros(shape, dtype) for _ in range(n_layers)],
             pos=jnp.full((n_slots, n_ctx), -1, jnp.int32),
             seg=jnp.zeros((n_slots, n_ctx), jnp.int32),
         )
 
     @property
     def n_ctx(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
     @property
     def n_slots(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[0]
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k)
+
+    @property
+    def dtype(self):
+        return self.k[0].dtype
 
     # -- queries -------------------------------------------------------------
     def used(self) -> jnp.ndarray:
@@ -101,8 +116,8 @@ def clear(cache: KVCache) -> KVCache:
 
 
 def seq_cp(cache: KVCache, src: int, dst: int) -> KVCache:
-    k = cache.k.at[:, dst].set(cache.k[:, src])
-    v = cache.v.at[:, dst].set(cache.v[:, src])
+    k = [kl.at[dst].set(kl[src]) for kl in cache.k]
+    v = [vl.at[dst].set(vl[src]) for vl in cache.v]
     pos = cache.pos.at[dst].set(cache.pos[src])
     seg = cache.seg.at[dst].set(cache.seg[src])
     return KVCache(k=k, v=v, pos=pos, seg=seg)
@@ -139,15 +154,11 @@ def seq_div(cache: KVCache, slot, p0, p1, d: int, rope: RopeParams) -> KVCache:
 
 
 def _apply_pos_change(cache: KVCache, mask: jnp.ndarray,
-                      new_pos: jnp.ndarray, rope: RopeParams) -> jax.Array:
+                      new_pos: jnp.ndarray, rope: RopeParams) -> list:
     delta = jnp.where(mask, new_pos - cache.pos, 0)        # (B, S)
     # rope by delta composes with the stored rotation; delta==0 is identity
-    k_shift = apply_rope(
-        cache.k.reshape(-1, *cache.k.shape[2:]),           # (L*B, S, H, D)
-        jnp.tile(delta, (cache.k.shape[0], 1)),            # (L*B, S)
-        rope,
-    ).reshape(cache.k.shape)
-    return jnp.where(mask[None, :, :, None, None], k_shift, cache.k)
+    return [jnp.where(mask[:, :, None, None],
+                      apply_rope(kl, delta, rope), kl) for kl in cache.k]
 
 
 def defrag(cache: KVCache) -> KVCache:
@@ -159,8 +170,9 @@ def defrag(cache: KVCache) -> KVCache:
     order = jnp.argsort(jnp.where(live, jnp.arange(s)[None, :], s + jnp.arange(s)[None, :]), axis=-1)
     pos = jnp.take_along_axis(jnp.where(live, cache.pos, -1), order, axis=-1)
     seg = jnp.take_along_axis(cache.seg, order, axis=-1)
-    k = jnp.take_along_axis(cache.k, order[None, :, :, None, None], axis=2)
-    v = jnp.take_along_axis(cache.v, order[None, :, :, None, None], axis=2)
+    idx = order[:, :, None, None]
+    k = [jnp.take_along_axis(kl, idx, axis=1) for kl in cache.k]
+    v = [jnp.take_along_axis(vl, idx, axis=1) for vl in cache.v]
     return KVCache(k=k, v=v, pos=pos, seg=seg)
 
 
@@ -175,8 +187,10 @@ def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
     padding and are skipped via position -1 == empty).
     """
     b_idx = slots[:, None]
-    k = cache.k.at[layer, b_idx, cells].set(k_new.astype(cache.k.dtype))
-    v = cache.v.at[layer, b_idx, cells].set(v_new.astype(cache.v.dtype))
+    k = list(cache.k)
+    v = list(cache.v)
+    k[layer] = k[layer].at[b_idx, cells].set(k_new.astype(cache.dtype))
+    v[layer] = v[layer].at[b_idx, cells].set(v_new.astype(cache.dtype))
     if layer != 0:
         pos, seg = cache.pos, cache.seg
     else:

@@ -24,14 +24,18 @@ MAGIC = "tpulamm-session-v1"
 
 def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
     cache = engine.cache
+    k_st = np.stack([np.asarray(x) for x in cache.k]) \
+        if cache.dtype != jnp.bfloat16 else \
+        np.stack([np.asarray(x).view(np.uint16) for x in cache.k])
+    v_st = np.stack([np.asarray(x) for x in cache.v]) \
+        if cache.dtype != jnp.bfloat16 else \
+        np.stack([np.asarray(x).view(np.uint16) for x in cache.v])
     np.savez_compressed(
         path,
         magic=np.array(MAGIC),
-        k=np.asarray(cache.k).view(np.uint16)
-        if cache.k.dtype == jnp.bfloat16 else np.asarray(cache.k),
-        k_dtype=np.array(str(cache.k.dtype)),
-        v=np.asarray(cache.v).view(np.uint16)
-        if cache.v.dtype == jnp.bfloat16 else np.asarray(cache.v),
+        k=k_st,
+        k_dtype=np.array(str(cache.dtype)),
+        v=v_st,
         pos=np.asarray(cache.pos),
         seg=np.asarray(cache.seg),
         n_past=engine.n_past,
@@ -63,8 +67,10 @@ def load_session(path: str, engine) -> list[int]:
         v = jnp.asarray(v).view(jnp.bfloat16)
     seg = (jnp.asarray(z["seg"]) if "seg" in z.files
            else jnp.zeros_like(jnp.asarray(z["pos"])))
-    engine.cache = KVCache(k=jnp.asarray(k), v=jnp.asarray(v),
-                           pos=jnp.asarray(z["pos"]), seg=seg)
+    engine.cache = KVCache(
+        k=[jnp.asarray(k[i]) for i in range(k.shape[0])],
+        v=[jnp.asarray(v[i]) for i in range(v.shape[0])],
+        pos=jnp.asarray(z["pos"]), seg=seg)
     engine.n_past = z["n_past"].copy()
     engine.cell_pos = z["cell_pos"].copy()
     engine.ga_i = z["ga_i"].copy()
