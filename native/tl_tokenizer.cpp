@@ -45,7 +45,8 @@ struct BigramCmp {
 };
 
 int utf8_len(uint8_t b) {
-    if (b < 0x80) return 1;
+    // reference lookup semantics: stray continuation bytes -> length 1
+    if (b < 0xC0) return 1;
     if (b < 0xE0) return 2;
     if (b < 0xF0) return 3;
     return 4;

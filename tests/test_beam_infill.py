@@ -145,3 +145,23 @@ def test_server_grammar_param(model_path):
     assert res["content"]
     assert all(c in "0123456789" for c in res["content"])
     started.httpd.shutdown()
+
+
+def test_beam_retirement_frees_slots(tmp_path):
+    """A beam ending in EOS must free its slot for later forks (regression:
+    retired-beam slots leaked and beam_search crashed with IndexError)."""
+    from tpulamm.models.config import ModelConfig
+    from tpulamm.ops.rope import RopeParams
+    from tpulamm.train.model import init_params, save_params_gguf
+    cfg = ModelConfig(arch="llama", vocab_size=16, dim=64, n_layers=1,
+                      n_heads=2, n_kv_heads=2, ffn_dim=128, n_ctx_train=64,
+                      norm_eps=1e-5, rope=RopeParams(n_rot=32),
+                      compute_dtype="float32")
+    params = init_params(cfg, seed=7)
+    path = str(tmp_path / "v16.gguf")
+    save_params_gguf(params, cfg, path)
+    eng = Engine(path, n_ctx=64, n_slots=8)
+    # with vocab 16 and 8 beams, EOS (id 2) lands in the beam set quickly;
+    # generation must complete without slot exhaustion
+    toks, score = beam_search(eng, [1, 5, 9], n_beams=8, n_predict=12)
+    assert len(toks) <= 12 and np.isfinite(score)

@@ -56,13 +56,10 @@ def main(argv=None):
     sampling = SamplingParams(
         temp=args.temp, seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
         logit_bias={})
-    ids, text = engine.generate(
+    engine.generate(
         tokens, n_predict=args.n_predict, sampling=sampling,
+        stop_tokens={int(eot)},    # generation (and streaming) stop at EOT
         stream=lambda piece: (sys.stdout.write(piece), sys.stdout.flush()))
-    del text
-    # trim at EOT if generated
-    if int(eot) in ids:
-        ids = ids[:ids.index(int(eot))]
     print()
     print(engine.timings.report(), file=sys.stderr)
     return 0

@@ -79,9 +79,10 @@ def beam_search(engine, prompt, *, n_beams: int = 4, n_predict: int = 64,
         cands = cands[:n_beams]
 
         # slot assignment: beams keep their slot for their first child;
-        # extra children fork via seq_cp into slots of dropped beams
+        # extra children fork via seq_cp into slots of dropped AND retired
+        # beams (a beam ending in EOS frees its slot)
         used_parents: set[int] = set()
-        freed = [b.slot for b in live
+        freed = [b.slot for b in beams
                  if not any(c[1] is b for c in cands)]
         new_beams = []
         for logprob, parent, tok in cands:

@@ -150,6 +150,10 @@ class Engine:
                           else _jnp.zeros((w.shape[0],), _jnp.float32)
                           for b, w in zip(bs, ws)]
                     layer["bqkv_fused"] = _jnp.concatenate(bs)
+                # drop the unfused tensors: keeping both would double the
+                # HBM footprint of most of the model's weights
+                for key in ("wq", "wk", "wv", "bq", "bk", "bv"):
+                    layer.pop(key, None)
             gu = [layer.get("w_gate"), layer.get("w_up")]
             if (all(isinstance(w, QTensor) and w.layout == "mm" for w in gu)
                     and gu[0].qtype == gu[1].qtype
@@ -157,6 +161,8 @@ class Engine:
                     and layer.get("b_gate") is None
                     and layer.get("b_up") is None):
                 layer["wgateup_fused"] = QTensor.concat_n(gu)
+                layer.pop("w_gate", None)
+                layer.pop("w_up", None)
 
     def token_pieces(self) -> list[bytes]:
         """Raw piece bytes per token id (cached; grammar sampling input)."""
@@ -264,8 +270,17 @@ class Engine:
             tokens = self.tokenizer.encode(tokens_or_text, special=True)
         else:
             tokens = list(tokens_or_text)
+        if self.recurrent:
+            raise NotImplementedError("embeddings for recurrent (mamba) "
+                                      "models are not supported")
         if pooling is None:
             pooling = self.cfg.pooling if self.cfg.pooling != "none" else "last"
+        if not self.cfg.causal and len(tokens) > self.n_ubatch:
+            # bidirectional attention cannot be chunked: later tokens would
+            # be invisible to earlier chunks
+            raise ValueError(
+                f"non-causal embedding input ({len(tokens)} tokens) exceeds "
+                f"n_ubatch={self.n_ubatch}; raise n_ubatch/n_ctx")
         if not hasattr(self, "_embed_step"):
             cfg = self.cfg
             params_nh = {k: v for k, v in self.params.items()
@@ -504,6 +519,12 @@ class Engine:
         n = next((b for b in self.DECODE_BUCKETS if b >= n_predict - 1),
                  self.DECODE_BUCKETS[-1])
         n = min(n, self.n_ctx - int(self.n_past[slot]) - 1)
+        if n <= 0:
+            # context already full after the prompt: only `first` fits
+            eos_ = self.tokenizer.vocab.eos_id if self.tokenizer else 2
+            outs = [] if (stop_on_eos and first == eos_) else [first]
+            return outs, (self.tokenizer.decode(outs)
+                          if self.tokenizer else "")
         start = int(self.n_past[slot])
         toks, self.cache = self._decode_scan(
             self.params, self.cache, jnp.int32(first), jnp.int32(start),
@@ -529,7 +550,8 @@ class Engine:
                  stop_on_eos: bool = True, stream=None,
                  grammar: str | object | None = None,
                  cfg_negative_prompt: str | list[int] | None = None,
-                 cfg_scale: float = 1.0):
+                 cfg_scale: float = 1.0,
+                 stop_tokens: set[int] | None = None):
         """Generate tokens; returns (token_ids, text).
 
         grammar: GBNF text (or a prebuilt Grammar) constraining the output
@@ -589,6 +611,8 @@ class Engine:
             self.timings.t_sample += time.perf_counter() - t0
             self.timings.n_sample += 1
             if stop_on_eos and tok == eos and not sampling.ignore_eos:
+                break
+            if stop_tokens and tok in stop_tokens:
                 break
             out_ids.append(tok)
             if stream is not None and self.tokenizer is not None:

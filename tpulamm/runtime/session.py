@@ -24,6 +24,15 @@ MAGIC = "tpulamm-session-v1"
 
 def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
     cache = engine.cache
+    if not isinstance(cache, KVCache):
+        # recurrent (mamba) state: conv/ssm arrays instead of K/V
+        np.savez_compressed(
+            path, magic=np.array(MAGIC + "-recurrent"),
+            conv=np.asarray(cache.conv), ssm=np.asarray(cache.ssm),
+            n_past=engine.n_past,
+            tokens=np.asarray(tokens if tokens is not None else [],
+                              np.int32))
+        return
     k_st = np.stack([np.asarray(x) for x in cache.k]) \
         if cache.dtype != jnp.bfloat16 else \
         np.stack([np.asarray(x).view(np.uint16) for x in cache.k])
@@ -53,6 +62,12 @@ def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
 def load_session(path: str, engine) -> list[int]:
     """Restore engine state in place; returns the saved token history."""
     z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) == MAGIC + "-recurrent":
+        from tpulamm.models.mamba import MambaState
+        engine.cache = MambaState(conv=jnp.asarray(z["conv"]),
+                                  ssm=jnp.asarray(z["ssm"]))
+        engine.n_past = z["n_past"].copy()
+        return [int(t) for t in z["tokens"]]
     if str(z["magic"]) != MAGIC:
         raise ValueError(f"{path}: not a tpulamm session file")
     meta = json.loads(str(z["meta"]))

@@ -94,10 +94,16 @@ def _spec_loop(target: Engine, sampler: Sampler, first_logits: np.ndarray,
         # keep only [cur] + accepted in the target KV
         target.rollback(slot, base + 1 + len(accepted))
         on_accept([cur] + accepted)
+        hit_eos = False
         for t in accepted:
+            if stop_on_eos and t == eos and not sampler.params.ignore_eos:
+                hit_eos = True       # accepted draft ended the sequence
+                break
             out.append(t)
             if stream is not None and target.tokenizer is not None:
                 stream(target.tokenizer.token_to_piece(t))
+        if hit_eos:
+            break
         sampler.accept(nxt)
         cur = nxt
     return out, stats

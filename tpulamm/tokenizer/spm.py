@@ -242,7 +242,8 @@ class SPMTokenizer:
         i = 0
         while i < len(data):
             b = data[i]
-            n = 1 if b < 0x80 else (2 if b < 0xE0 else (3 if b < 0xF0 else 4))
+            # reference lookup (llama.cpp decode_utf8): 0x80-0xBF -> 1
+            n = 1 if b < 0xC0 else (2 if b < 0xE0 else (3 if b < 0xF0 else 4))
             n = min(n, len(data) - i)
             spans.append((i, n))
             i += n
