@@ -231,13 +231,14 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
     assert n % 128 == 0, f"N={n} must be a multiple of 128"
     m = x.shape[0]
     if m <= 16:
-        # decode (gemv) regime: measured best is narrow tiles + f32 unpack
-        # (tune_qmm M=1: tn=256/f32 184 GB/s vs tn=1024/bf16 83 GB/s)
+        # decode (gemv) regime: f32 unpack wins over the bf16 i8-trick path
+        # for tiny M, with the same wide tiles as large M. Measured IN-SCAN
+        # on a 1.1B Q4_0 model on v5e: 1024/f32 335 tok/s, 512/f32 326,
+        # 256/f32 278, 1024/bf16 243 (isolated-dispatch sweeps are
+        # transport-dominated and misleading — always tune in-scan).
         compute_dtype = jnp.float32
-        if tn is None:
-            tn = next((c for c in (256, 128) if n % c == 0), None)
     if tn is None:
-        # widest tile wins at large batch (measured: M=32..128)
+        # widest tile wins at every batch size
         for cand in (1024, 512, 256, 128):
             if n % cand == 0:
                 tn = cand
