@@ -174,8 +174,12 @@ class Engine:
 
     # -- low-level ubatch execution ------------------------------------------
     def _run(self, slot: int, tokens: np.ndarray, positions: np.ndarray,
-             cells: np.ndarray) -> np.ndarray:
-        """Run one ubatch for one slot. tokens/positions/cells: (T,)."""
+             cells: np.ndarray, all_logits: bool = True) -> np.ndarray:
+        """Run one ubatch for one slot. tokens/positions/cells: (T,).
+
+        all_logits=False transfers only the LAST position's logits to the
+        host — a (T, vocab) copy is megabytes per ubatch and dominates
+        prefill wall-time on remote transports."""
         t = len(tokens)
         bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
         pad = bucket - t
@@ -193,7 +197,9 @@ class Engine:
             jnp.full((1,), slot, jnp.int32),
             jnp.asarray(cel)[None, :],
         )
-        return np.asarray(logits[0, :t])
+        if all_logits:
+            return np.asarray(logits[0, :t])
+        return np.asarray(logits[0, t - 1:t])   # device-side slice
 
     def _cells_for(self, slot: int, n: int, positions: np.ndarray) -> np.ndarray:
         """Allocate n free cells (host mirror of llama_kv_cache_find_slot)."""
@@ -228,7 +234,8 @@ class Engine:
             chunk = toks[off:off + self.n_ubatch]
             pos = self.n_past[slot] + np.arange(len(chunk))
             cells = self._cells_for(slot, len(chunk), pos)
-            logits = self._run(slot, chunk, pos.astype(np.int32), cells)
+            logits = self._run(slot, chunk, pos.astype(np.int32), cells,
+                               all_logits=logits_all)
             self.n_past[slot] += len(chunk)
             out.append(logits if logits_all else logits[-1:])
         self.timings.t_prefill += time.perf_counter() - t0
