@@ -195,3 +195,18 @@ def test_server_embeddings(server):
               {"prompt": "the cat", "n_predict": 3,
                "temperature": 0.0})
     assert c["tokens_predicted"] == 3
+
+
+def test_server_fast_block_path(server):
+    """Greedy + no-penalty requests take the multi-token scan path and
+    produce a complete, correct-length completion."""
+    r = _post(server + "/completion",
+              {"prompt": "the cat", "n_predict": 13, "temperature": 0.0,
+               "repeat_penalty": 1.0})
+    assert r["tokens_predicted"] == 13
+    assert isinstance(r["content"], str)
+    # same request again: deterministic content (greedy, fast path)
+    r2 = _post(server + "/completion",
+               {"prompt": "the cat", "n_predict": 13, "temperature": 0.0,
+                "repeat_penalty": 1.0})
+    assert r2["content"] == r["content"]

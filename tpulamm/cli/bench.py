@@ -65,10 +65,11 @@ def _batched_bench(engine, n_pp: int, n_tg: int, n_pl: int) -> dict:
                                             n_pp)))
     t_pp = time.perf_counter() - t0
     cur = {s: 2 for s in range(n_pl)}
+    engine.decode_batch_fast(cur, 1)          # warm the batch-scan compile
+    for s in range(n_pl):
+        engine.rollback(s, int(engine.n_past[s]) - 1)
     t0 = time.perf_counter()
-    for _ in range(n_tg):
-        logits = engine.decode_batch(cur)
-        cur = {s: int(np.argmax(lg)) for s, lg in logits.items()}
+    engine.decode_batch_fast(cur, n_tg)
     t_tg = time.perf_counter() - t0
     return {
         "pp": n_pp, "tg": n_tg, "pl": n_pl,

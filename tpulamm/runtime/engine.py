@@ -503,6 +503,99 @@ class Engine:
 
         return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
 
+    def _build_batch_scan(self):
+        """Jitted multi-slot decode scan: N tokens for ALL slots per
+        dispatch (the serving path: continuous-batching throughput is
+        dominated by per-step dispatch otherwise)."""
+        cfg = self.cfg
+        if self.recurrent:
+            from tpulamm.models.mamba import forward as model_forward
+        else:
+            model_forward = forward
+        B = self.n_slots
+
+        def run(params, cache, toks, pos, active, n_steps, key, temp, top_k,
+                greedy):
+            slots = jnp.arange(B, dtype=jnp.int32)
+
+            def step(carry, _):
+                cache, tok, pos, key = carry
+                cells = jnp.where(active, pos, self.n_ctx)[:, None]
+                p = jnp.where(active, pos, -1)[:, None]
+                logits, cache = model_forward(params, cfg, tok[:, None], p,
+                                              cache, slots, cells)
+                lg = logits[:, 0]                      # (B, V)
+                if greedy:
+                    nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                else:
+                    key, sub = jax.random.split(key)
+                    kv_, ki = jax.lax.top_k(lg, top_k)
+                    cat = jax.random.categorical(
+                        sub, kv_ / jnp.maximum(temp, 1e-6)[:, None])
+                    sampled = jnp.take_along_axis(ki, cat[:, None],
+                                                  axis=-1)[:, 0]
+                    nxt = jnp.where(temp > 0.0, sampled,
+                                    jnp.argmax(lg, axis=-1)).astype(jnp.int32)
+                nxt = jnp.where(active, nxt, tok)
+                pos = jnp.where(active, pos + 1, pos)
+                return (cache, nxt, pos, key), nxt
+
+            (cache, _, _, _), out = jax.lax.scan(
+                step, (cache, toks, pos, key), None, length=n_steps)
+            return out, cache
+
+        return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
+
+    def decode_batch_fast(self, toks: dict[int, int], n_steps: int, *,
+                          temp: dict[int, float] | float = 0.0,
+                          top_k: int = 40, seed: int = 0
+                          ) -> dict[int, list[int]]:
+        """Decode n_steps tokens for several slots in ONE device dispatch.
+
+        Requires contiguous cell allocation per slot (true after
+        reset+prefill; not after context shift) and plain temp/top-k
+        sampling. Returns {slot: [tokens...]} of length n_steps, where
+        result[s][0] is the token AFTER toks[s]."""
+        assert not self.recurrent or True  # recurrent supported (no cells)
+        for s in toks:
+            n = int(self.n_past[s])
+            if not self.recurrent and \
+                    not np.array_equal(self.cell_pos[s, :n], np.arange(n)):
+                raise ValueError(f"slot {s}: cells not contiguous; "
+                                 "use decode_batch")
+            if n + n_steps + 1 > self.n_ctx:
+                raise ValueError("decode_batch_fast would overflow n_ctx")
+        t0 = time.perf_counter()
+        if not hasattr(self, "_batch_scan"):
+            self._batch_scan = self._build_batch_scan()
+        B = self.n_slots
+        tok = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        act = np.zeros(B, bool)
+        tv = np.zeros(B, np.float32)
+        for s, t in toks.items():
+            tok[s] = t
+            pos[s] = self.n_past[s]
+            act[s] = True
+            tv[s] = temp if isinstance(temp, (int, float)) else temp.get(s, 0.0)
+        greedy = bool(np.all(tv[act] <= 0.0))
+        out, self.cache = self._batch_scan(
+            self.params, self.cache, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray(act), int(n_steps), jax.random.PRNGKey(seed),
+            jnp.asarray(tv), int(top_k), greedy)
+        out = np.asarray(out)                            # (n_steps, B)
+        res = {}
+        for s in toks:
+            start = int(self.n_past[s])
+            self.n_past[s] = start + n_steps
+            if not self.recurrent:
+                self.cell_pos[s, start:start + n_steps] = \
+                    np.arange(start, start + n_steps)
+            res[s] = [int(t) for t in out[:, s]]
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += n_steps * len(toks)
+        return res
+
     def generate_fast(self, prompt, *, n_predict: int = 128,
                       temp: float = 0.0, top_k: int = 40, seed: int = 0,
                       slot: int = 0, stop_on_eos: bool = True):

@@ -162,6 +162,67 @@ class Scheduler(threading.Thread):
         else:
             slot.next_tok = tok
 
+    @staticmethod
+    def _fast_eligible(p) -> bool:
+        """Sampling the on-device batch scan reproduces exactly: greedy or
+        plain temp+top-k, no penalties/grammar/bias/mirostat."""
+        plain = (p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
+                 and p.penalty_present == 0.0 and p.mirostat == 0
+                 and not p.logit_bias)
+        if not plain:
+            return False
+        if p.temp <= 0.0:
+            return True
+        return (p.top_k > 0 and p.top_p >= 1.0 and p.min_p <= 0.0
+                and p.tfs_z >= 1.0 and p.typical_p >= 1.0)
+
+    def _run_fast_block(self, active: dict[int, int]) -> bool:
+        """Multi-token on-device block for all active slots; False if the
+        engine can't take the fast path (falls back to per-token)."""
+        eng = self.engine
+        remaining = min(self.slots[i].req.n_predict - self.slots[i].n_gen
+                        for i in active)
+        n = max(1, min(8, remaining))
+        temps = {i: self.slots[i].req.params.temp for i in active}
+        try:
+            blocks = eng.decode_batch_fast(active, n, temp=temps)
+        except ValueError:
+            return False
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        for i, toks in blocks.items():
+            slot = self.slots[i]
+            done_at = None
+            for j, tok in enumerate(toks):
+                if tok == eos and not slot.req.params.ignore_eos:
+                    done_at = j
+                    break
+                slot.n_gen += 1
+                piece = (eng.tokenizer.token_to_piece(tok)
+                         if eng.tokenizer else "")
+                slot.req.out.put(("tok", tok, piece))
+                with self.metrics.lock:
+                    self.metrics.generated_tokens += 1
+                if slot.n_gen >= slot.req.n_predict:
+                    done_at = j
+                    break
+            if done_at is None and slot.n_gen >= slot.req.n_predict:
+                done_at = len(toks) - 1
+            if done_at is not None:
+                # slot KV is reset on reuse; no rollback needed
+                stop = (toks[done_at] == eos
+                        and not slot.req.params.ignore_eos)
+                slot.req.out.put((
+                    "done", "stop" if stop else "length",
+                    {"prompt_tokens": slot.prompt_len,
+                     "completion_tokens": slot.n_gen,
+                     "t_total": time.perf_counter() - slot.t_start}))
+                slot.req = None
+                slot.sampler = None
+                slot.next_tok = None
+            else:
+                slot.next_tok = toks[-1]
+        return True
+
     def run(self):
         while self.running:
             self._assign()
@@ -172,6 +233,13 @@ class Scheduler(threading.Thread):
                     1 for s in self.slots if s.req is not None)
             if not active:
                 time.sleep(0.002)
+                continue
+            # multi-token on-device blocks when no request is waiting to
+            # join and every active request uses scan-reproducible sampling
+            if (self.pending.empty()
+                    and all(self._fast_eligible(self.slots[i].req.params)
+                            for i in active)
+                    and self._run_fast_block(active)):
                 continue
             logits = self.engine.decode_batch(active)
             for i, lg in logits.items():
