@@ -1,0 +1,155 @@
+"""Measured per-format performance report (the reference report's tables).
+
+Produces the matmul GFLOPS table over every quant format at the reference
+benchmark shape (la-benchmark-matmult: 4096x11008 weights x 128 activations,
+GFLOPS = 2MKN/t), using bench.py's hoist-proof slope timing, plus — when a
+model path is given — the end-to-end pp/tg numbers. Run on TPU:
+
+    python -m tpulamm.tools.perf_report [-m model.gguf] [-o PERF.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+REF_GFLOPS = {  # 3A6000 4-thread, level 3 (README.md:616-643)
+    "f32": 113.17, "q4_0": 121.31, "q4_1": 118.77, "q5_0": 126.26,
+    "q5_1": 130.79, "q8_0": 161.16, "q2_k": 109.91,
+}
+
+
+def bench_matmul(qname: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpulamm.gguf.constants import GGMLType
+    from tpulamm.ops.pallas_qmm import qmm_pallas
+    from tpulamm.ops.qtensor import QTensor
+
+    N, K, M = 4096, 11008, 128
+    rng = np.random.default_rng(42)
+    w = np.abs(rng.normal(size=(N, K)) * 0.5).astype(np.float32)
+    x = np.abs(rng.normal(size=(M, K)) * 0.5).astype(np.float32)
+    xd = jnp.asarray(x, jnp.bfloat16)
+
+    if qname == "f32":
+        wd = jnp.asarray(w, jnp.bfloat16)
+        one_call = lambda xx: jnp.dot(xx, wd.T,  # noqa: E731
+                                      preferred_element_type=jnp.float32)
+    else:
+        qt = QTensor.from_float(w, getattr(GGMLType, qname.upper()),
+                                layout="mm")
+        one_call = lambda xx: qmm_pallas(xx, qt)  # noqa: E731
+
+    def make_loop(iters):
+        @jax.jit
+        def loop(xin):
+            def body(carry, _):
+                xx = xin.at[0, 0].add(
+                    (carry * jnp.bfloat16(1e-20)).astype(xin.dtype))
+                out = one_call(xx)
+                # full reduction: every output element is live (a single
+                # element would let XLA dead-code the dense matmul away)
+                return out.sum(), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+        return loop
+
+    n1, n2 = (5, 45) if qname != "f32" else (20, 180)
+    loop1, loop2 = make_loop(n1), make_loop(n2)
+    loop1(xd).block_until_ready()
+    loop2(xd).block_until_ready()
+
+    def timed(loop):
+        t0 = time.perf_counter()
+        loop(xd).block_until_ready()
+        return time.perf_counter() - t0
+
+    # median of interleaved pair-slopes: each pair shares ambient
+    # interference, and the median discards outlier pairs in either tail
+    slopes = sorted(timed(loop2) - timed(loop1) for _ in range(7))
+    dt = slopes[len(slopes) // 2] / (n2 - n1)
+    return 2.0 * M * K * N / dt / 1e9
+
+
+def bench_model(path: str) -> dict:
+    from tpulamm.runtime.engine import Engine
+    eng = Engine(path, n_ctx=512)
+    toks = list(np.random.default_rng(0).integers(3, 1000, 512))
+    eng.reset_slot(0)
+    eng.prefill(0, toks)           # warm compile
+    pp = 0.0
+    for _ in range(4):             # best-of-4: single reps are host-noisy
+        eng.reset_slot(0)
+        t0 = time.perf_counter()
+        eng.prefill(0, toks)
+        pp = max(pp, 512 / (time.perf_counter() - t0))
+    # warm the SAME decode bucket that will be timed
+    eng.generate_fast([1], n_predict=256, temp=0.0, stop_on_eos=False)
+    tg = 0.0
+    for _ in range(3):
+        eng.reset_slot(0)
+        eng.prefill(0, [1])
+        t0 = time.perf_counter()
+        eng.generate_fast([1], n_predict=256, temp=0.0, stop_on_eos=False)
+        tg = max(tg, 256 / (time.perf_counter() - t0))
+    return {"pp512": pp, "tg256": tg}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpulamm-perf-report")
+    p.add_argument("-m", "--model", default=None,
+                   help="GGUF for end-to-end pp/tg numbers")
+    p.add_argument("-o", "--output", default=None, help="write markdown here")
+    p.add_argument("--formats", default=None,
+                   help="comma-separated subset (e.g. q4_0,q8_0)")
+    args = p.parse_args(argv)
+    if args.model is not None:
+        import os
+        if not os.path.isfile(args.model):
+            p.error(f"model not found: {args.model}")
+    import jax
+    dev = str(jax.devices()[0])
+
+    lines = [f"# Measured performance ({dev})", "",
+             "Matmul: reference shape 4096x11008x128, GFLOPS = 2MKN/t, "
+             "hoist-proof on-device scan slope timing (bench.py method).",
+             "Reference column: Loongson 3A6000, 4 threads, LAMM opt level 3.",
+             "Single-run slope measurements; run-to-run variance is roughly "
+             "±15-20%",
+             "(per-format ordering within that band is not significant).",
+             "", "| format | TPU GFLOPS | 3A6000 GFLOPS | ratio |",
+             "|---|---|---|---|"]
+    fmts = (args.formats.split(",") if args.formats
+            else ("f32", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "q2_k"))
+    for q in fmts:
+        if q not in REF_GFLOPS:
+            p.error(f"unknown format: {q}")
+    for q in fmts:
+        g = bench_matmul(q)
+        ref = REF_GFLOPS[q]
+        lines.append(f"| {q} | {g:,.0f} | {ref} | {g / ref:,.0f}x |")
+        print(lines[-1], file=sys.stderr)
+    if args.model:
+        r = bench_model(args.model)
+        lines += ["", f"End-to-end ({args.model}):", "",
+                  f"- prompt eval (pp512): {r['pp512']:,.0f} tok/s",
+                  f"- generation (tg256, on-device scan): "
+                  f"{r['tg256']:,.1f} tok/s"]
+        print(lines[-2], file=sys.stderr)
+        print(lines[-1], file=sys.stderr)
+    md = "\n".join(lines) + "\n"
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(md)
+    else:
+        print(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
