@@ -239,15 +239,20 @@ def _layer_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, cache: KVCache, slots: jnp.ndarray,
-            cells: jnp.ndarray,
-            segs: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
+            cells: jnp.ndarray, segs: jnp.ndarray | None = None,
+            embeds: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
     """tokens/positions/cells: (B, T); slots: (B,) -> (logits f32, cache).
 
     For embedding archs (bert) with no lm head, returns final hidden states
     (B, T, dim) instead of logits; pooling is a separate host-side step
     (runtime.embedding) as in the reference's pooling graphs.
+
+    embeds (B, T, dim), when given, replaces the token-embedding lookup —
+    the reference's llama_batch.embd input path (llama.cpp:8530-8537), used
+    by llava to splice projected image embeddings into the stream.
     """
-    h = embed(params, cfg, tokens)
+    h = embeds.astype(cfg.cdtype) if embeds is not None \
+        else embed(params, cfg, tokens)
     if cfg.emb_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.emb_scale).astype(cfg.cdtype)
     if cfg.pos_emb:

@@ -373,6 +373,45 @@ class Engine:
         self.timings.n_eval += len(toks)
         return logits
 
+    def eval_embeds(self, slot: int, embeds: np.ndarray) -> np.ndarray:
+        """Feed pre-computed input embeddings (T, n_embd) instead of token
+        ids — the reference's llama_batch.embd path (llama.cpp:8530-8537,
+        used by llava.cpp:llava_eval_image_embed). Advances n_past; returns
+        the final position's logits."""
+        assert not self.recurrent, "embedding injection needs attention"
+        if not hasattr(self, "_embd_step"):
+            cfg = self.cfg
+
+            def dstep(params, emb, pos, cache, slots, cells):
+                toks = jnp.zeros(emb.shape[:2], jnp.int32)
+                return forward(params, cfg, toks, pos, cache, slots, cells,
+                               embeds=emb)
+            self._embd_step = jax.jit(dstep, donate_argnums=(3,))
+        t0 = time.perf_counter()
+        out = None
+        embeds = np.asarray(embeds, np.float32)
+        for off in range(0, len(embeds), self.n_ubatch):
+            chunk = embeds[off:off + self.n_ubatch]
+            t = len(chunk)
+            pos = (self.n_past[slot] + np.arange(t)).astype(np.int32)
+            cells = self._cells_for(slot, t, pos)
+            bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
+            emb = np.zeros((bucket, embeds.shape[1]), np.float32)
+            emb[:t] = chunk
+            posb = np.full(bucket, -1, np.int32)
+            posb[:t] = pos
+            cel = np.full(bucket, self.n_ctx, np.int32)
+            cel[:t] = cells
+            logits, self.cache = self._embd_step(
+                self.params, jnp.asarray(emb)[None], jnp.asarray(posb)[None],
+                self.cache, jnp.full((1,), slot, jnp.int32),
+                jnp.asarray(cel)[None])
+            self.n_past[slot] += t
+            out = np.asarray(logits[0, t - 1])
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += len(embeds)
+        return out
+
     def rollback(self, slot: int, n_past: int):
         """Drop KV cells at positions >= n_past (speculative rejection path;
         the reference does the same with llama_kv_cache_seq_rm after

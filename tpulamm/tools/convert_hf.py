@@ -745,6 +745,70 @@ def vocab_from_hf(tok) -> dict:
     return out
 
 
+def convert_hf_clip(sd: dict, c, out_path: str, proj_sd: dict | None = None,
+                    skip_last: int = 1, use_gelu: bool = False,
+                    proj_type: str = "mlp",
+                    image_mean=(0.48145466, 0.4578275, 0.40821073),
+                    image_std=(0.26862954, 0.26130258, 0.27577711)) -> None:
+    """HF CLIPVisionModel (+ llava projector state_dict) -> mmproj GGUF.
+
+    Mirrors the reference's convert-image-encoder-to-gguf.py: keys/tensor
+    names from clip.cpp:73-122. skip_last=1 reproduces llava's
+    vision_feature_layer=-2 (the reference drops the final ViT block at
+    conversion); pass 0 to keep every layer. proj_sd maps llava HF
+    multi_modal_projector.linear_1/2 -> mm.0 / mm.2.
+    """
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("general.name", "clip-vision")
+    w.add_kv("clip.has_text_encoder", False)
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.has_llava_projector", True)
+    w.add_kv("clip.use_gelu", bool(use_gelu))
+    w.add_kv("clip.projector_type", proj_type)
+    n_blocks = int(c.num_hidden_layers) - skip_last
+    w.add_kv("clip.vision.embedding_length", int(c.hidden_size))
+    w.add_kv("clip.vision.feed_forward_length", int(c.intermediate_size))
+    w.add_kv("clip.vision.block_count", n_blocks)
+    w.add_kv("clip.vision.attention.head_count", int(c.num_attention_heads))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(c.layer_norm_eps))
+    w.add_kv("clip.vision.image_size", int(c.image_size))
+    w.add_kv("clip.vision.patch_size", int(c.patch_size))
+    w.add_kv("clip.vision.image_mean", [float(x) for x in image_mean])
+    w.add_kv("clip.vision.image_std", [float(x) for x in image_std])
+
+    pre = "vision_model."
+    f32 = lambda k: np.ascontiguousarray(sd[k], np.float32)  # noqa: E731
+    w.add_tensor("v.patch_embd.weight",
+                 f32(pre + "embeddings.patch_embedding.weight"))
+    w.add_tensor("v.class_embd", f32(pre + "embeddings.class_embedding"))
+    w.add_tensor("v.position_embd.weight",
+                 f32(pre + "embeddings.position_embedding.weight"))
+    # HF attribute is spelled "pre_layrnorm"
+    w.add_tensor("v.pre_ln.weight", f32(pre + "pre_layrnorm.weight"))
+    w.add_tensor("v.pre_ln.bias", f32(pre + "pre_layrnorm.bias"))
+    names = (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+             ("attn_v", "self_attn.v_proj"), ("attn_out", "self_attn.out_proj"),
+             ("ln1", "layer_norm1"), ("ln2", "layer_norm2"),
+             ("ffn_up", "mlp.fc1"), ("ffn_down", "mlp.fc2"))
+    for i in range(n_blocks):
+        for gg, hf in names:
+            for part in ("weight", "bias"):
+                w.add_tensor(f"v.blk.{i}.{gg}.{part}",
+                             f32(f"{pre}encoder.layers.{i}.{hf}.{part}"))
+    if proj_sd:
+        pj = {k: np.ascontiguousarray(v, np.float32)
+              for k, v in proj_sd.items()}
+        lin = {"linear_1": 0, "linear_2": 2}
+        for hf, idx in lin.items():
+            for part in ("weight", "bias"):
+                key = next((k for k in pj if k.endswith(f"{hf}.{part}")), None)
+                if key is not None:
+                    w.add_tensor(f"mm.{idx}.{part}", pj[key])
+    w.write()
+
+
 # dispatch on HF config.model_type
 CONVERTERS = {
     "llama": convert_llama_family,
