@@ -24,14 +24,17 @@ MAGIC = "tpulamm-session-v1"
 
 def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
     cache = engine.cache
+    # write through a handle: np.savez on a bare path silently appends
+    # ".npz", breaking user-chosen session filenames (--prompt-cache foo.bin)
     if not isinstance(cache, KVCache):
         # recurrent (mamba) state: conv/ssm arrays instead of K/V
-        np.savez_compressed(
-            path, magic=np.array(MAGIC + "-recurrent"),
-            conv=np.asarray(cache.conv), ssm=np.asarray(cache.ssm),
-            n_past=engine.n_past,
-            tokens=np.asarray(tokens if tokens is not None else [],
-                              np.int32))
+        with open(path, "wb") as fh:
+            np.savez_compressed(
+                fh, magic=np.array(MAGIC + "-recurrent"),
+                conv=np.asarray(cache.conv), ssm=np.asarray(cache.ssm),
+                n_past=engine.n_past,
+                tokens=np.asarray(tokens if tokens is not None else [],
+                                  np.int32))
         return
     k_st = np.stack([np.asarray(x) for x in cache.k]) \
         if cache.dtype != jnp.bfloat16 else \
@@ -39,8 +42,9 @@ def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
     v_st = np.stack([np.asarray(x) for x in cache.v]) \
         if cache.dtype != jnp.bfloat16 else \
         np.stack([np.asarray(x).view(np.uint16) for x in cache.v])
+    fh = open(path, "wb")
     np.savez_compressed(
-        path,
+        fh,
         magic=np.array(MAGIC),
         k=k_st,
         k_dtype=np.array(str(cache.dtype)),
@@ -57,6 +61,7 @@ def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
             "n_layers": engine.cfg.n_layers,
         })),
     )
+    fh.close()
 
 
 def load_session(path: str, engine) -> list[int]:
