@@ -98,7 +98,14 @@ def main(argv=None):
     p.add_argument("-pl", "--n-parallel", type=int, action="append",
                    default=[], help="parallel sequences (batched mode)")
     p.add_argument("--compute-dtype", default=None)
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture an XLA device trace into DIR "
+                        "(TensorBoard/Perfetto; the GGML_PERF analogue)")
     args = p.parse_args(argv)
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
 
     from tpulamm.runtime.engine import Engine
     pps = args.n_prompt or [512]
@@ -121,6 +128,9 @@ def main(argv=None):
                 print(f"| {r['pp']:>6} | {r['tg']:>6} | {r['pl']:>4} "
                       f"| {r['pp_ts']:>10.2f} | {r['tg_ts']:>10.2f} "
                       f"| {r['total_ts']:>10.2f} |")
+        if args.profile:
+            jax.profiler.stop_trace()
+            print(f"trace written to {args.profile}", file=sys.stderr)
         return 0
 
     engine = Engine(args.model, n_ctx=args.ctx_size,
@@ -158,6 +168,9 @@ def main(argv=None):
         for row in rows:
             print(f"| {model_name:<28} | {row['test']:>8} "
                   f"| {row['t/s']:>8.2f} ± {row['stddev']:<4.2f} |")
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.profile}", file=sys.stderr)
     return 0
 
 

@@ -321,6 +321,8 @@ class Engine:
             outs.append(np.asarray(hidden[0, :t]))
             self.n_past[slot] += t
         h = np.concatenate(outs)                     # (T, dim)
+        if pooling == "none":
+            return h                                 # (T, dim) unpooled
         if pooling == "mean":
             return h.mean(axis=0)
         if pooling == "cls":
