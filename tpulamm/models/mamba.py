@@ -117,7 +117,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             slots: jnp.ndarray, cells: jnp.ndarray = None,
             segs: jnp.ndarray | None = None
             ) -> tuple[jnp.ndarray, MambaState]:
-    """tokens/positions: (B, T); slots: (B,) -> (logits f32, state).
+    """tokens/positions: (B, T); slots: (B,) or None (= arange(B), the
+    all-slots-in-order decode case) -> (logits f32, state).
 
     Signature-compatible with transformer.forward (cells/segs ignored —
     a recurrent state has no attention mask) so the decode engine can
@@ -125,6 +126,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     """
     del cells, segs
     B, T = tokens.shape
+    if slots is None:
+        slots = jnp.arange(B, dtype=jnp.int32)
     valid = (positions >= 0).astype(jnp.float32)
     h = embed(params, cfg, tokens).astype(jnp.float32)
 

@@ -82,9 +82,9 @@ def shard_llama_params(params: dict, mesh: Mesh, tp_axis: str = "tp") -> dict:
 
 
 def shard_cache(cache, mesh: Mesh):
-    """KVCache (L, B, S, H, D): batch on dp, kv heads on tp."""
+    """KVCache (L, B, H, S, D): batch on dp, kv heads on tp."""
     from tpulamm.runtime.kvcache import KVCache
-    kv_spec = P("dp", None, "tp", None)
+    kv_spec = P("dp", "tp", None, None)
     return KVCache(
         k=[_put(x, mesh, kv_spec) for x in cache.k],
         v=[_put(x, mesh, kv_spec) for x in cache.v],

@@ -194,7 +194,7 @@ class Engine:
             jnp.asarray(tok)[None, :],
             jnp.asarray(pos)[None, :],
             self.cache,
-            jnp.full((1,), slot, jnp.int32),
+            None if self.n_slots == 1 else jnp.full((1,), slot, jnp.int32),
             jnp.asarray(cel)[None, :],
         )
         if all_logits:
@@ -260,7 +260,7 @@ class Engine:
             self.n_past[slot] += 1
         logits, self.cache = self._step(
             self.params, jnp.asarray(tok), jnp.asarray(pos), self.cache,
-            jnp.arange(b, dtype=jnp.int32), jnp.asarray(cel))
+            None, jnp.asarray(cel))     # all slots in order: no gather
         out = np.asarray(logits[:, 0])
         self.timings.t_eval += time.perf_counter() - t0
         self.timings.n_eval += len(toks)
@@ -520,6 +520,8 @@ class Engine:
         else:
             model_forward = forward
 
+        one_slot = self.n_slots == 1    # slots arg is the identity then
+
         def run(params, cache, first_tok, start_pos, slot, n_steps, key,
                 temp, top_k, greedy):
             def step(carry, _):
@@ -527,7 +529,7 @@ class Engine:
                 # fresh-slot decode: cell index == position
                 logits, cache = model_forward(
                     params, cfg, tok[None, None], pos[None, None], cache,
-                    slot[None], pos[None, None])
+                    None if one_slot else slot[None], pos[None, None])
                 lg = logits[0, 0]
                 if greedy:
                     nxt = jnp.argmax(lg).astype(jnp.int32)
@@ -557,7 +559,7 @@ class Engine:
 
         def run(params, cache, toks, pos, active, n_steps, key, temp, top_k,
                 greedy):
-            slots = jnp.arange(B, dtype=jnp.int32)
+            slots = None        # batch covers all slots in order (no gather)
 
             def step(carry, _):
                 cache, tok, pos, key = carry

@@ -19,7 +19,7 @@ import numpy as np
 
 from tpulamm.runtime.kvcache import KVCache
 
-MAGIC = "tpulamm-session-v1"
+MAGIC = "tpulamm-session-v2"   # v2: KV buffers are head-major (B, H, S, D)
 
 
 def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
