@@ -59,3 +59,26 @@ def test_pallas_tn128(rng):
     got = np.asarray(qmm_pallas(jnp.asarray(x), qt, compute_dtype=jnp.float32,
                                 interpret=True))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-4)
+
+
+def test_pad_n_zero_columns(rng):
+    """pad_n rows dequantize to exact 0 for every format (tile-padded lm
+    head: forward slices logits back to vocab_size)."""
+    import jax.numpy as jnp
+    n, n_pad = 256, 384
+    for qtype in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                  GGMLType.Q5_1, GGMLType.Q8_0, GGMLType.Q2_K):
+        w = rng.normal(size=(n, K)).astype(np.float32)
+        raw = formats.quantize(w, qtype)
+        qt = QTensor.from_gguf_raw(raw, qtype, (n, K), layout="mm")
+        qp = qt.pad_n(n_pad)
+        assert qp.shape == (n_pad, K)
+        x = rng.normal(size=(2, K)).astype(np.float32)
+        got = np.asarray(qmm_pallas(jnp.asarray(x), qp,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True))
+        ref = np.asarray(qmm_pallas(jnp.asarray(x), qt,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True))
+        np.testing.assert_array_equal(got[:, n:], 0.0)
+        np.testing.assert_allclose(got[:, :n], ref, rtol=1e-6, atol=1e-6)

@@ -166,4 +166,6 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     h = _norm(h, params, "out_norm", cfg)
     logits = _proj(h.astype(cfg.cdtype), params["output"], cfg)
+    if logits.shape[-1] != cfg.vocab_size:
+        logits = logits[..., : cfg.vocab_size]   # tile-padded head
     return logits.astype(jnp.float32), MambaState(conv=conv, ssm=ssm)

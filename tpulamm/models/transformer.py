@@ -310,4 +310,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     if cfg.logit_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.logit_scale).astype(cfg.cdtype)
     logits = _proj(h, params["output"], cfg, params.get("output_b"))
+    if logits.shape[-1] != cfg.vocab_size:
+        # head was tile-padded (engine optimization pass); padded columns
+        # are exact zeros — slice them off
+        logits = logits[..., : cfg.vocab_size]
     return logits.astype(jnp.float32), cache

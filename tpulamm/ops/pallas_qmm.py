@@ -237,18 +237,36 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         # 256/f32 278, 1024/bf16 243 (isolated-dispatch sweeps are
         # transport-dominated and misleading — always tune in-scan).
         compute_dtype = jnp.float32
+    quantum = 16 if compute_dtype == jnp.bfloat16 else 8
+    m_pad = max(quantum, -(-m // quantum) * quantum)
+    wb = 4 if compute_dtype == jnp.float32 else 2
+
+    def vmem_ok(tn_, kc_):
+        # keep the dequant intermediates (unpacked vals + widened q + w:
+        # ~3 (tk, tn) buffers) + resident out block + x slab well under the
+        # 16MB scoped-VMEM stack (the compiler OOMs otherwise)
+        tk = kc_ * TK
+        need = 3 * tk * tn_ * wb + m_pad * tn_ * 4 + m_pad * tk * 4
+        return need <= 12 * 2 ** 20
+
+    gemv = m_pad <= 16
     if tn is None:
-        # widest tile wins at every batch size
-        for cand in (1024, 512, 256, 128):
-            if n % cand == 0:
+        # widest tile wins at every M — fewer grid steps amortize the
+        # ~0.4-0.6us per-step overhead (in-scan sweep on 1.1B Q4_0/v5e:
+        # decode tn<=2048 kc<=8 -> 1368 us/step vs tn<=1024 kc<=4 -> 1520;
+        # M=128 matmul 58 -> 76 TFLOPS) — but large-M tiles must pass the
+        # scoped-VMEM check below or the kernel compiler OOMs
+        for cand in (2048, 1024, 512, 256, 128):
+            if n % cand == 0 and (vmem_ok(cand, 1) or cand == 128):
                 tn = cand
                 break
         else:
             raise ValueError(f"N={n} not tileable")
     if kc is None:
+        kc_cands = (8, 4, 2) if gemv else (4, 2)
         kc = 1
-        for cand in (4, 2):
-            if (k // TK) % cand == 0:
+        for cand in kc_cands:
+            if (k // TK) % cand == 0 and (gemv or vmem_ok(tn, cand)):
                 kc = cand
                 break
     if x.dtype not in (jnp.bfloat16, jnp.float32):

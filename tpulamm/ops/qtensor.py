@@ -84,6 +84,20 @@ class QTensor:
         return QTensor(qtype=first.qtype, shape=(n, first.shape[1]),
                        layout="mm", planes=planes)
 
+    def pad_n(self, n_new: int) -> "QTensor":
+        """Zero-pad along N. Padded rows dequantize to exactly 0 (their
+        scales are 0), so callers can slice the matmul output back down.
+        Lets tile-unfriendly heads (e.g. vocab 32000 -> tn 256) use the
+        widest kernel tiles (32768 -> tn 1024: 4x fewer grid steps)."""
+        n, k = self.shape
+        if n_new == n:
+            return self
+        assert self.layout == "mm" and n_new > n
+        planes = {name: jnp.pad(p, ((0, 0), (0, n_new - n)))
+                  for name, p in self.planes.items()}
+        return QTensor(qtype=self.qtype, shape=(n_new, k), layout="mm",
+                       planes=planes)
+
 
 def unpack_mm_values(qt_planes: dict, qtype: GGMLType, k: int) -> jnp.ndarray:
     """mm planes -> integer values (K, N) as int32 (jnp; reference path).

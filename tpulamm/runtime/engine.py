@@ -134,8 +134,21 @@ class Engine:
     def _fuse_projections(self):
         """Fuse QKV and gate+up QTensors into single kernels (plane concat
         along N). Decode launches 7 quantized matmuls per layer otherwise;
-        fused it is 4 — a large win for the HBM/launch-bound decode step."""
+        fused it is 4 — a large win for the HBM/launch-bound decode step.
+
+        Also tile-pads the lm head: vocab sizes like 32000 only tile at
+        tn=256 (250 grid steps/call); padding to a 1024 multiple cuts that
+        4x. forward() slices the logits back to vocab_size."""
         from tpulamm.ops.qtensor import QTensor
+        out_w = self.params.get("output")
+        if (isinstance(out_w, QTensor) and out_w.layout == "mm"
+                and out_w.shape[0] % 1024 != 0 and out_w.shape[0] >= 4096):
+            n_pad = -(-out_w.shape[0] // 1024) * 1024
+            self.params["output"] = out_w.pad_n(n_pad)
+            if self.params.get("output_b") is not None:
+                b = self.params["output_b"]
+                self.params["output_b"] = jnp.pad(
+                    b, (0, n_pad - b.shape[0]))
         for layer in self.params.get("layers", []):
             ws = [layer.get(k) for k in ("wq", "wk", "wv")]
             if (all(isinstance(w, QTensor) and w.layout == "mm" for w in ws)
