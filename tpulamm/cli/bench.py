@@ -65,9 +65,11 @@ def _batched_bench(engine, n_pp: int, n_tg: int, n_pl: int) -> dict:
                                             n_pp)))
     t_pp = time.perf_counter() - t0
     cur = {s: 2 for s in range(n_pl)}
-    engine.decode_batch_fast(cur, 1)          # warm the batch-scan compile
+    # warm the batch-scan compile with the SAME n_tg (n_steps is a static
+    # jit argument — warming with a different count still compiles here)
+    engine.decode_batch_fast(cur, n_tg)
     for s in range(n_pl):
-        engine.rollback(s, int(engine.n_past[s]) - 1)
+        engine.rollback(s, int(engine.n_past[s]) - n_tg)
     t0 = time.perf_counter()
     engine.decode_batch_fast(cur, n_tg)
     t_tg = time.perf_counter() - t0
