@@ -28,6 +28,8 @@ def main(argv=None):
                         "become identical)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     from tpulamm.runtime.engine import Engine
     eng = Engine(args.model, n_ctx=args.ctx_size, n_slots=args.n_parallel)

@@ -104,6 +104,8 @@ def main(argv=None):
                    help="capture an XLA device trace into DIR "
                         "(TensorBoard/Perfetto; the GGML_PERF analogue)")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     if args.profile:
         import jax

@@ -34,6 +34,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(build_parser(), args.model_base)
     import jax.numpy as jnp
 
     from tpulamm.models.loader import load_model

@@ -16,6 +16,8 @@ def main(argv=None):
     p.add_argument("--no-tensors", action="store_true")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model, "model")
 
     from tpulamm.gguf.reader import GGUFReader
     r = GGUFReader(args.model)

@@ -46,6 +46,8 @@ def infill_tokens(engine, prefix: str, suffix: str) -> list[int]:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(build_parser(), args.model)
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.sampling import SamplingParams
 

@@ -50,6 +50,8 @@ def main(argv=None):
     p.add_argument("-f", "--file", default=None,
                    help="newline-separated custom prompts")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.sampling import Sampler, SamplingParams

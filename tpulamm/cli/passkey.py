@@ -30,6 +30,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(build_parser(), args.model)
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.sampling import SamplingParams
 

@@ -199,6 +199,8 @@ def main(argv=None):
     p.add_argument("--save-logits", help="write base logprobs for KL")
     p.add_argument("--kl-divergence", help="compare against saved logprobs")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     from tpulamm.runtime.engine import Engine
     engine = Engine(args.model, n_ctx=args.ctx_size + 1,

@@ -110,6 +110,8 @@ def main(argv=None):
                    help="importance matrix (.npz from tpulamm.tools.imatrix)"
                         " for weighted rounding")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.src, "input")
     quantize_file(args.src, args.dst, NAMES[args.type], pure=args.pure,
                   imatrix=args.imatrix)
     return 0

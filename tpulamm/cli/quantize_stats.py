@@ -43,6 +43,8 @@ def main(argv=None):
     p.add_argument("--per-layer", action="store_true",
                    help="print every tensor (default: aggregate per type)")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     types = [NAMES[t] for t in (args.type or sorted(NAMES))]
     r = GGUFReader(args.model)

@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--session", default=None,
                    help="session file path (default: a temp file)")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.session import load_session, save_session

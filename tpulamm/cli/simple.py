@@ -20,6 +20,8 @@ def main(argv=None):
     p.add_argument("-n", "--n-predict", type=int, default=32)
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     from tpulamm.runtime.engine import Engine
     eng = Engine(args.model, n_ctx=args.ctx_size)

@@ -17,6 +17,8 @@ def main(argv=None):
     p.add_argument("--decode", default=None,
                    help="comma-separated ids to detokenize instead")
     args = p.parse_args(argv)
+    from tpulamm.cli._common import require_file
+    require_file(p, args.model)
 
     from tpulamm.gguf.reader import GGUFReader
     from tpulamm.tokenizer.spm import build_tokenizer
