@@ -1,0 +1,124 @@
+"""Mesh-native Engine tests: the full product path (real GGUF through
+Engine) sharded over the virtual 8-device CPU mesh, asserting numeric
+parity with the single-device run.
+
+This is the distribution slot of the reference (ggml-mpi.c:105-201, hooked
+at llama.cpp:8736-8758) rebuilt the TPU way: shard_map over a ("dp","tp")
+mesh with megatron-style layouts (parallel/mesh.py policy).
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("transformers")
+import torch
+from transformers import LlamaConfig as HFLlamaConfig
+from transformers import LlamaForCausalLM
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.runtime.engine import Engine
+from tests.test_engine import make_vocab_md
+
+VOCAB = 512
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    torch.manual_seed(7)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    from tpulamm.tools.convert_hf import convert_hf_llama
+    path = str(tmp_path_factory.mktemp("mesh") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q4_0,
+                     vocab=make_vocab_md())
+    return path
+
+
+PROMPT = [1, 310, 271, 306, 290, 302]      # arbitrary in-vocab tokens
+
+
+def _ref_engine(model_path, **kw):
+    # f32 compute so mesh-vs-single differences are pure reduction-order
+    return Engine(model_path, n_ctx=64, compute_dtype="float32", **kw)
+
+
+@pytest.fixture(scope="module")
+def single_logits(model_path):
+    eng = _ref_engine(model_path)
+    return eng.prefill(0, PROMPT, logits_all=True)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 1), (2, 2), (1, 8)])
+def test_mesh_prefill_parity(model_path, single_logits, dp, tp):
+    if tp > 2:
+        pytest.skip("model has 2 kv heads; tp > 2 unsupported")
+    eng = _ref_engine(model_path, dp=dp, tp=tp, n_slots=2 * dp)
+    got = eng.prefill(1, PROMPT, logits_all=True)   # non-zero slot
+    np.testing.assert_allclose(got, single_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_decode_scan_parity(model_path):
+    ref = _ref_engine(model_path, n_slots=2)
+    ref.prefill(0, PROMPT)
+    want = ref.decode_batch_fast({0: 310}, 16)[0]
+
+    eng = _ref_engine(model_path, dp=2, tp=2, n_slots=2)
+    eng.prefill(0, PROMPT)
+    got = eng.decode_batch_fast({0: 310}, 16)[0]
+    assert got == want
+
+
+def test_mesh_generate_and_context_shift(model_path):
+    """generate_fast across context shift: mesh vs single device."""
+    ref = _ref_engine(model_path, n_slots=2)
+    w_ids, _ = ref.generate_fast(PROMPT, n_predict=24, temp=0.0,
+                                 stop_on_eos=False)
+    eng = _ref_engine(model_path, dp=1, tp=2, n_slots=2)
+    g_ids, _ = eng.generate_fast(PROMPT, n_predict=24, temp=0.0,
+                                 stop_on_eos=False)
+    assert g_ids == w_ids
+
+    # host-loop generate drives decode_one -> _maybe_shift under the mesh
+    ref2 = _ref_engine(model_path, n_slots=2)
+    eng2 = _ref_engine(model_path, dp=1, tp=2, n_slots=2)
+    from tpulamm.runtime.sampling import SamplingParams
+    sp = SamplingParams(temp=0.0)
+    w2, _ = ref2.generate(PROMPT, n_predict=12, sampling=sp,
+                          stop_on_eos=False)
+    g2, _ = eng2.generate(PROMPT, n_predict=12, sampling=sp,
+                          stop_on_eos=False)
+    assert g2 == w2
+
+
+def test_mesh_seq_surgery_parity(model_path):
+    """Position surgery (context shift machinery) on a sharded cache."""
+    ref = _ref_engine(model_path, n_slots=2)
+    eng = _ref_engine(model_path, dp=1, tp=2, n_slots=2)
+    for e in (ref, eng):
+        e.prefill(0, PROMPT * 4)
+        e.seq_rm(0, 2, 6)
+        e.seq_add(0, 6, 100, -4)
+        e.n_past[0] -= 4
+    a = ref.decode_one(0, 302)
+    b = eng.decode_one(0, 302)
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_embed_parity(model_path):
+    ref = _ref_engine(model_path, n_slots=2)
+    eng = _ref_engine(model_path, dp=2, tp=1, n_slots=2)
+    a = ref.embed(PROMPT)
+    b = eng.embed(PROMPT)
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_validation_errors(model_path):
+    with pytest.raises(ValueError, match="n_kv_heads"):
+        Engine(model_path, n_ctx=64, tp=4)      # 2 kv heads % 4 != 0
+    with pytest.raises(ValueError, match="n_slots"):
+        Engine(model_path, n_ctx=64, dp=2, n_slots=3)

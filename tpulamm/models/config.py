@@ -64,9 +64,32 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
 
+    # -- tensor-parallel execution context -----------------------------------
+    # Set only on the per-shard cfg the Engine builds for shard_map bodies:
+    # n_heads/n_kv_heads above are then LOCAL (global // tp); forward()
+    # inserts psum after row-parallel projections and all-gathers the
+    # vocab-sharded lm head over `tp_axis`.
+    tp: int = 1
+    tp_axis: str | None = None
+    head_sharded: bool = False      # lm head vocab axis sharded on tp
+    # how each row-parallel projection completes its contraction:
+    # "psum"   — weight K-sharded: partial products, psum over tp
+    # "gather" — weight replicated but activation feature-local (upstream
+    #            col weight sharded): all-gather the activation first
+    # "none"   — nothing sharded on this path
+    row_attn: str = "none"          # attn output projection (wo)
+    row_ffn: str = "none"           # ffn down projection (w_down)
+    row_moe: str = "none"           # per-expert down projections
+
+    # attention kernel selection: None = auto (fused flash kernel on TPU
+    # when the mask is expressible there), True/False = force
+    flash_attn: bool | None = None
+
     @property
     def head_dim(self) -> int:
-        return self.head_dim_kv if self.head_dim_kv else self.dim // self.n_heads
+        # n_heads is local under tensor parallelism; head geometry is global
+        return (self.head_dim_kv if self.head_dim_kv
+                else self.dim // (self.n_heads * self.tp))
 
     @property
     def cdtype(self):

@@ -219,12 +219,15 @@ def parse_kv_override(s: str) -> tuple[str, Any]:
 
 
 def load_model(path: str, *, compute_dtype: str | None = None,
-               kv_overrides: dict[str, Any] | None = None
+               kv_overrides: dict[str, Any] | None = None, abort=None
                ) -> tuple[ModelConfig, dict[str, Any], dict]:
     """Returns (config, params, metadata). metadata retains tokenizer KVs.
 
     kv_overrides: GGUF metadata overrides applied before hparam parsing
-    (llama_model_kv_override, llama.cpp:2755 / --override-kv)."""
+    (llama_model_kv_override, llama.cpp:2755 / --override-kv).
+    abort: optional callback () -> bool checked between layer loads —
+    True cancels the load (llama.cpp progress_callback returning false /
+    test-model-load-cancel.cpp parity)."""
     reader = GGUFReader(path)
     if kv_overrides:
         reader.metadata.update(kv_overrides)
@@ -254,7 +257,13 @@ def load_model(path: str, *, compute_dtype: str | None = None,
         params["output"] = _mm_from_rows(emb.as_rows(), emb.ggml_type,
                                          (emb.shape[0], emb.shape[1]), cfg)
 
-    params["layers"] = [_layer_params(tm, cfg, i) for i in range(cfg.n_layers)]
+    params["layers"] = []
+    for i in range(cfg.n_layers):
+        if abort is not None and abort():
+            reader.close()
+            from tpulamm.runtime.engine import AbortError
+            raise AbortError(f"model load cancelled at layer {i}")
+        params["layers"].append(_layer_params(tm, cfg, i))
 
     md = dict(reader.metadata)
     reader.close()

@@ -54,6 +54,30 @@ def _proj(x: jnp.ndarray, w, cfg: ModelConfig, bias=None) -> jnp.ndarray:
     return y
 
 
+def _proj_row(x: jnp.ndarray, w, cfg: ModelConfig, bias=None,
+              mode: str = "none") -> jnp.ndarray:
+    """Row-parallel projection (input features sharded on tp): each shard
+    computes a partial product over its K-slice; psum over the tp axis
+    completes the contraction (megatron attn-output/ffn-down pattern).
+    The (replicated) bias is added once, after the reduction.
+
+    mode "gather" covers weights the layout left replicated (their K
+    doesn't split at quant-chunk granularity) while the upstream col
+    weight WAS sharded: the feature-local activation is all-gathered
+    instead (see ModelConfig.row_attn/row_ffn/row_moe)."""
+    if cfg.tp_axis is None or mode == "none":
+        return _proj(x, w, cfg, bias)
+    if mode == "gather":
+        x = jax.lax.all_gather(x, cfg.tp_axis, axis=-1, tiled=True)
+        y = _proj(x, w, cfg)
+    else:
+        y = _proj(x, w, cfg)
+        y = jax.lax.psum(y, cfg.tp_axis)
+    if bias is not None:
+        y = (y + bias.astype(jnp.float32)).astype(y.dtype)
+    return y
+
+
 def _norm(x: jnp.ndarray, p: Params, name: str, cfg: ModelConfig) -> jnp.ndarray:
     """llm_build_norm (llama.cpp:5178): RMS or LN with optional bias."""
     w = p[name]
@@ -148,6 +172,33 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     group = cfg.n_heads // cfg.n_kv_heads
 
     qg = q.reshape(B, T, cfg.n_kv_heads, group, hd)
+
+    # fused flash-attention kernel (ops/flash_attention.py) whenever the
+    # KQ mask is expressible in-kernel: live + causal masks from positions
+    # (segment masks and ALiBi use the einsum path). Query positions are
+    # affine (engine contract: n_past + arange, pads at the tail) — the
+    # kernel reconstructs them from base + row index.
+    use_flash = (segs is None and cfg.max_alibi_bias == 0.0
+                 and hd in (64, 128, 256)
+                 and (cfg.flash_attn if cfg.flash_attn is not None
+                      else jax.default_backend() == "tpu"))
+    if use_flash:
+        from tpulamm.ops.flash_attention import flash_attention
+        kpos = cache.pos if slots is None else cache.pos[slots]
+        qf = qg.transpose(0, 2, 1, 3, 4).reshape(
+            B, cfg.n_kv_heads, T * group, hd)
+        qbase = positions[:, 0]
+        qlen = jnp.sum(positions >= 0, axis=1).astype(jnp.int32)
+        o = flash_attention(qf, kc, vc, kpos, qbase, qlen,
+                            scale=float(1.0 / math.sqrt(hd)), g=group,
+                            causal=cfg.causal,
+                            interpret=jax.default_backend() != "tpu")
+        o = o.reshape(B, cfg.n_kv_heads, T, group, hd) \
+             .transpose(0, 2, 1, 3, 4)
+        o = o.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)
+        return _proj_row(o, layer["wo"], cfg, layer.get("bo"),
+                         cfg.row_attn), cache
+
     # scores: (B, Hkv, G, T, S); cache is head-major so each head's (S, D)
     # plane streams contiguously into the dot — no relayout copies
     scores = jnp.einsum("bthgd,bhsd->bhgts", qg.astype(jnp.float32),
@@ -156,8 +207,13 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
 
     kpos = cache.pos if slots is None else cache.pos[slots]   # (B, S)
     if cfg.max_alibi_bias > 0.0:
-        # ggml_soft_max_ext ALiBi: scores += slope[h] * key_pos
-        slopes = alibi_slopes(cfg.n_heads, cfg.max_alibi_bias)
+        # ggml_soft_max_ext ALiBi: scores += slope[h] * key_pos. Slopes
+        # depend on the GLOBAL head index: under tp, slice this shard's
+        # contiguous head block out of the global slope table.
+        slopes = alibi_slopes(cfg.n_heads * cfg.tp, cfg.max_alibi_bias)
+        if cfg.tp_axis is not None:
+            off = jax.lax.axis_index(cfg.tp_axis) * cfg.n_heads
+            slopes = jax.lax.dynamic_slice(slopes, (off,), (cfg.n_heads,))
         slopes = slopes.reshape(1, cfg.n_kv_heads, group, 1, 1)
         scores = scores + slopes * kpos[:, None, None, None, :].astype(jnp.float32)
 
@@ -184,7 +240,8 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     probs = masked_softmax(scores, mask)
     out = jnp.einsum("bhgts,bhsd->bthgd", probs, vc.astype(jnp.float32))
     out = out.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)
-    return _proj(out, layer["wo"], cfg, layer.get("bo")), cache
+    return _proj_row(out, layer["wo"], cfg, layer.get("bo"),
+                     cfg.row_attn), cache
 
 
 def ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
@@ -195,8 +252,8 @@ def ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
         gate, up = gu[..., :half], gu[..., half:]
         mid = (_act(gate.astype(jnp.float32), cfg.ffn_act)
                * up.astype(jnp.float32))
-        return _proj(mid.astype(cfg.cdtype), layer["w_down"], cfg,
-                     layer.get("b_down"))
+        return _proj_row(mid.astype(cfg.cdtype), layer["w_down"], cfg,
+                         layer.get("b_down"), cfg.row_ffn)
     up = _proj(h, layer["w_up"], cfg, layer.get("b_up"))
     if layer.get("w_gate") is not None:
         gate = _proj(h, layer["w_gate"], cfg, layer.get("b_gate"))
@@ -206,8 +263,8 @@ def ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
         mid = _act(up.astype(jnp.float32), cfg.ffn_act)
         if layer.get("ffn_act_scales") is not None:    # mpt (llm_build_ffn :5260)
             mid = mid / layer["ffn_act_scales"].astype(jnp.float32)
-    return _proj(mid.astype(cfg.cdtype), layer["w_down"], cfg,
-                 layer.get("b_down"))
+    return _proj_row(mid.astype(cfg.cdtype), layer["w_down"], cfg,
+                     layer.get("b_down"), cfg.row_ffn)
 
 
 def moe_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
@@ -232,7 +289,8 @@ def moe_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
         up = _proj(h, layer["ffn_up_exp"][e], cfg)
         mid = (_act(gate.astype(jnp.float32), cfg.ffn_act)
                * up.astype(jnp.float32)).astype(cfg.cdtype)
-        ex = _proj(mid, layer["ffn_down_exp"][e], cfg).astype(jnp.float32)
+        ex = _proj_row(mid, layer["ffn_down_exp"][e], cfg,
+                       mode=cfg.row_moe).astype(jnp.float32)
         ex = ex * onehot[..., e:e + 1]
         out = ex if out is None else out + ex
     return out.astype(cfg.cdtype)
@@ -310,6 +368,10 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     if cfg.logit_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.logit_scale).astype(cfg.cdtype)
     logits = _proj(h, params["output"], cfg, params.get("output_b"))
+    if cfg.head_sharded:
+        # vocab-sharded lm head: contiguous shards concatenate back in
+        # vocab order (tile padding sits at the end, i.e. in the last shard)
+        logits = jax.lax.all_gather(logits, cfg.tp_axis, axis=-1, tiled=True)
     if logits.shape[-1] != cfg.vocab_size:
         # head was tile-padded (engine optimization pass); padded columns
         # are exact zeros — slice them off

@@ -1,0 +1,174 @@
+"""Fused flash-attention Pallas kernel over the slot KV cache.
+
+TPU-native replacement for the materialized-scores attention path
+(ggml_soft_max_ext + KQ_mask semantics, llama.cpp:8523): instead of
+writing the full (B, H, T, S) score/prob tensors to HBM (whose traffic
+grows linearly with n_ctx and dominates long-context decode), K/V stream
+through VMEM once, scores for one (TG, St) tile live only in registers/
+VMEM, and the softmax is computed online (running max/denominator
+rescaling, the standard flash recurrence).
+
+Shapes and tricks:
+- GQA folding: the G = n_heads/n_kv_heads query heads that share one KV
+  head are folded into the query-row axis: q (B, Hkv, T*G, hd). Every row
+  of a tile shares the same K/V stream, so the MXU sees (TG, hd)x(hd, St)
+  matmuls with no KV duplication.
+- The KQ mask is recomputed in-kernel from positions, exactly like the
+  engine's einsum path: key cell live (kpos >= 0) and, for causal
+  models, kpos <= qpos. Key positions are DATA (context shift/self-extend
+  rewrite them) and stream as (1, St) blocks; query positions are affine
+  (qpos = q_base[b] + t, t = row//G) which every engine path satisfies
+  (prefill/decode/scan positions are n_past + arange; padding rows sit at
+  the tail and carry q_len masking). Paths with non-affine positions or
+  segment masks (eval_segmented/lookahead) use the einsum fallback.
+- Fully-masked rows (padding, empty slots) produce 0 output, not NaN
+  (l == 0 guard), matching masked_softmax's all-masked behavior.
+
+The dispatch (flash_eligible + attend) is chosen statically at trace time;
+models with ALiBi fall back to the einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
+            q_ref, k_ref, v_ref, kpos_ref,  # VMEM tiles
+            out_ref,
+            acc_ref, m_ref, l_ref,          # VMEM scratch
+            *, scale: float, g: int, tg_t: int, s_t: int, s_total: int,
+            causal: bool, compute_dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(2)                    # TG tile
+    j = pl.program_id(3)                    # S tile (innermost, arbitrary)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(compute_dtype)           # (TGt, hd)
+    k = k_ref[0, 0].astype(compute_dtype)           # (St, hd)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale                                    # (TGt, St)
+
+    kpos = kpos_ref[:].astype(jnp.int32)             # (1, St)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tg_t, s_t), 1) + j * s_t
+    live = (kpos >= 0) & (col < s_total)             # tail-block guard
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tg_t, s_t), 0) + i * tg_t
+        t = row // g
+        qpos = qbase_ref[b] + t
+        live = live & (kpos <= qpos) & (t < qlen_ref[b])
+    s = jnp.where(live, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]                            # (TGt, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(s <= NEG_INF, 0.0, p)              # all-masked rows
+    corr = jnp.exp(m_prev - m_new)                   # (TGt, 1)
+    l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0, 0].astype(compute_dtype)            # (St, hd)
+    # tail-block guard: OOB-padded V rows are undefined (NaN in interpret
+    # mode) and 0 * NaN would poison the matmul — zero them explicitly
+    vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + j * s_t
+    v = jnp.where(vrow < s_total, v, 0)
+    pv = jax.lax.dot_general(p.astype(compute_dtype), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == pl.num_programs(3) - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        out_ref[0, 0] = jnp.where(l > 0, acc_ref[:] / l, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "g", "causal", "interpret"))
+def flash_attention(q, k, v, kpos, qbase, qlen, *, scale: float, g: int,
+                    causal: bool = True, interpret: bool = False):
+    """q: (B, Hkv, TG, hd) f32; k/v: (B, Hkv, S, hd) (any dtype; cast to
+    bf16 in-kernel); kpos: (B, S) int32; qbase/qlen: (B,) int32.
+    Returns (B, Hkv, TG, hd) f32."""
+    B, Hkv, TG, hd = q.shape
+    S = k.shape[2]
+    # tail blocks are allowed (cdiv grids): OOB reads are masked in-kernel
+    # by row/col index guards, OOB writes are dropped by pallas
+    tg_t = min(256, -(-TG // 8) * 8)
+    s_t = min(512, -(-S // 128) * 128)
+
+    grid = (B, Hkv, pl.cdiv(TG, tg_t), pl.cdiv(S, s_t))
+    kernel = functools.partial(
+        _kernel, scale=scale, g=g, tg_t=tg_t, s_t=s_t, s_total=S,
+        causal=causal, compute_dtype=jnp.bfloat16)
+
+    flops = 4 * B * Hkv * TG * S * hd
+    kv_bytes = 2 * B * Hkv * S * hd * k.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # qbase (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # qlen (B,)
+            pl.BlockSpec((1, 1, tg_t, hd), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_t), lambda b, h, i, j: (b, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tg_t, hd),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, TG, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tg_t, hd), jnp.float32),
+            pltpu.VMEM((tg_t, 128), jnp.float32),
+            pltpu.VMEM((tg_t, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=kv_bytes + 2 * q.size * 4,
+            transcendentals=B * Hkv * TG * S),
+        interpret=interpret,
+    )(qbase, qlen, q, k, v, kpos)
+
+
+def flash_attention_ref(q, k, v, kpos, qbase, qlen, *, scale, g,
+                        causal=True):
+    """jnp reference with identical semantics (golden model for tests)."""
+    B, Hkv, TG, hd = q.shape
+    S = k.shape[2]
+    s = jnp.einsum("bhrd,bhsd->bhrs", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    live = (kpos >= 0)[:, None, None, :]
+    if causal:
+        t = jnp.arange(TG) // g
+        qpos = qbase[:, None] + t[None, :]              # (B, TG)
+        live = live & (kpos[:, None, None, :] <= qpos[:, None, :, None])
+        live = live & (t[None, None, :, None] < qlen[:, None, None, None])
+    s = jnp.where(live, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(s <= NEG_INF, 0.0, jnp.exp(s - m))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhrs,bhsd->bhrd", p, v.astype(jnp.float32))
+    return jnp.where(l > 0, out / l, 0.0)

@@ -43,6 +43,34 @@ PLANE_ORDER: dict[GGMLType, tuple[str, ...]] = {
 PLANE_ROWS = {"qs": 128, "qh": 32, "q2": 64, "q8": 256}
 
 
+def _f16_decode(u16: jnp.ndarray) -> jnp.ndarray:
+    """uint16 raw fp16 bits -> f32, with integer ops only.
+
+    Mosaic has no f16 vector type, so the fp16 scale planes cross the
+    kernel boundary bitcast to uint16 and are decoded here: widen to i32,
+    rebuild the f32 bit pattern (exponent rebias +112, mantissa << 13),
+    and handle zero/subnormal inputs as exact small floats. Inf/NaN cannot
+    occur (quant scales are finite by construction)."""
+    w = u16.astype(jnp.int32)
+    sign = (w >> 15) & 1
+    exp = (w >> 10) & 0x1F
+    mant = w & 0x3FF
+    bits = (sign << 31) | ((exp + 112) << 23) | (mant << 13)
+    normal = pltpu.bitcast(bits, jnp.float32)
+    tiny = mant.astype(jnp.float32) * jnp.float32(5.960464477539063e-08)
+    tiny = jnp.where(sign == 1, -tiny, tiny)
+    return jnp.where(exp == 0, tiny, normal)
+
+
+def _load_scales(ref) -> jnp.ndarray:
+    """Scale/min plane ref -> f32 tile (planes are u16-bitcast fp16, or
+    f32 for Q2_K)."""
+    v = ref[:]
+    if v.dtype == jnp.uint16:
+        return _f16_decode(v)
+    return v.astype(jnp.float32)
+
+
 def _unpack_values(qtype: GGMLType, planes: dict[str, jnp.ndarray],
                    kc: int, tn: int, idtype=jnp.int32) -> jnp.ndarray:
     """VMEM tiles covering kc 256-element K-chunks -> (kc*256, TN) values.
@@ -136,20 +164,22 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int):
             # w = q*s + (m - zero*s)
             vals = _unpack_values_i8(qtype, plane_refs, kc, tn)
             q = vals.astype(compute_dtype).reshape(groups, spec.group, tn)
-            s = plane_refs["scales"][:]                  # (groups, TN) f32
+            # scale planes are fp16-as-u16 (f32 for Q2_K); decode to f32,
+            # fold the offset in f32
+            s = _load_scales(plane_refs["scales"])
             off = -spec.zero * s
             if spec.has_min:
-                off = off + plane_refs["mins"][:]
+                off = off + _load_scales(plane_refs["mins"])
             w = q * s.astype(compute_dtype)[:, None, :] \
                 + off.astype(compute_dtype)[:, None, :]
             w = w.reshape(tk, tn)
         else:
             vals = _unpack_values(qtype, plane_refs, kc, tn, jnp.int32)
-            scales = plane_refs["scales"][:]
+            scales = _load_scales(plane_refs["scales"])
             w = vals.astype(jnp.float32).reshape(groups, spec.group, tn)
             w = (w - spec.zero) * scales[:, None, :]
             if spec.has_min:
-                w = w + plane_refs["mins"][:][:, None, :]
+                w = w + _load_scales(plane_refs["mins"])[:, None, :]
             w = w.reshape(tk, tn).astype(compute_dtype)
 
         x = x_ref[:].astype(compute_dtype)                # (M, tk)
@@ -171,6 +201,11 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int):
                                     "compute_dtype", "interpret"))
 def _qmm_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int, tn: int,
               kc: int, compute_dtype, interpret: bool):
+    # Mosaic has no f16: hand fp16 scale planes to the kernel as raw u16
+    # bits (free bitcast; decoded in-kernel by _f16_decode)
+    planes = {nm: (jax.lax.bitcast_convert_type(p, jnp.uint16)
+                   if p.dtype == jnp.float16 else p)
+              for nm, p in planes.items()}
     # pad the batch dim to the sublane quantum inside the jit so a decode
     # step costs a single dispatch
     quantum = 16 if x.dtype == jnp.bfloat16 else 8
@@ -226,7 +261,7 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
 
     tn: output tile width; kc: number of 256-element K-chunks per grid step.
     """
-    n, k = qt.shape
+    n, k = qt.mm_dims     # plane-derived: local dims inside shard_map
     assert k % TK == 0, f"K={k} must be a multiple of {TK}"
     assert n % 128 == 0, f"N={n} must be a multiple of 128"
     m = x.shape[0]

@@ -32,12 +32,14 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     impl: None = auto, "pallas", "ref".
     """
     assert qt.layout == "mm", "qmatmul needs an mm-layout QTensor"
-    n, k = qt.shape
+    n, k = qt.mm_dims     # plane-derived: local dims inside shard_map
     lead = x.shape[:-1]
     xm = x.reshape(-1, k)
 
     if impl is None:
         impl = "pallas" if _use_pallas() else "ref"
+    if impl == "pallas" and (n % 128 != 0 or k % 256 != 0):
+        impl = "ref"      # shard too small to tile (tiny tp shards)
     if impl == "pallas":
         from tpulamm.ops.pallas_qmm import qmm_pallas
         out = qmm_pallas(xm, qt, compute_dtype=compute_dtype)

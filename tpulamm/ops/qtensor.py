@@ -47,6 +47,15 @@ class QTensor:
         return SPECS[self.qtype]
 
     @property
+    def mm_dims(self) -> tuple[int, int]:
+        """(N, K) derived from the PLANE shapes, not the static `shape`
+        field: inside shard_map the planes are per-device shards while
+        `shape` stays global, and the matmul paths must follow the data."""
+        assert self.layout == "mm"
+        s = self.planes["scales"]
+        return s.shape[1], s.shape[0] * self.spec.group
+
+    @property
     def n_bytes(self) -> int:
         return sum(int(np.prod(p.shape)) * p.dtype.itemsize
                    for p in self.planes.values())
@@ -127,13 +136,15 @@ def unpack_mm_values(qt_planes: dict, qtype: GGMLType, k: int) -> jnp.ndarray:
 
 def dequant_mm(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     """mm-layout QTensor -> dense (K, N) array (reference/CPU path)."""
-    n, k = qt.shape
+    n, k = qt.mm_dims
     spec = qt.spec
     vals = unpack_mm_values(qt.planes, qt.qtype, k).astype(jnp.float32)
-    scales = jnp.repeat(qt.planes["scales"], spec.group, axis=0)
+    scales = jnp.repeat(qt.planes["scales"].astype(jnp.float32),
+                        spec.group, axis=0)
     w = (vals - spec.zero) * scales
     if spec.has_min:
-        w = w + jnp.repeat(qt.planes["mins"], spec.group, axis=0)
+        w = w + jnp.repeat(qt.planes["mins"].astype(jnp.float32),
+                           spec.group, axis=0)
     return w.astype(dtype)
 
 
@@ -168,8 +179,10 @@ def gather_dequant_rows(qt: QTensor, idx: jnp.ndarray,
     spec = qt.spec
     gathered = {name: plane[idx] for name, plane in qt.planes.items()}
     vals = unpack_rows_values(gathered, qt.qtype, k).astype(jnp.float32)
-    scales = jnp.repeat(gathered["scales"], spec.group, axis=-1)
+    scales = jnp.repeat(gathered["scales"].astype(jnp.float32),
+                        spec.group, axis=-1)
     w = (vals - spec.zero) * scales
     if spec.has_min:
-        w = w + jnp.repeat(gathered["mins"], spec.group, axis=-1)
+        w = w + jnp.repeat(gathered["mins"].astype(jnp.float32),
+                           spec.group, axis=-1)
     return w.astype(dtype)

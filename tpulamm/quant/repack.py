@@ -17,9 +17,13 @@ contraction dim, N the output dim; all planes have N on the last/lane axis):
   q2      uint8 (K/4, N)   (Q2_K) crumbs: byte at row 64c + s holds crumb t =
                            element 256c + s + 64t  (shift 2t)
   q8      int8  (K, N)     (Q8_0) plain transposed int8
-  scales  f32   (K/g, N)   per-group scale (g=32; Q2_K g=16, effective d*sc)
-  mins    f32   (K/g, N)   (Q4_1/Q5_1: m; Q2_K: effective dmin*mn, negated
-                           at use site)
+  scales  f16   (K/g, N)   per-group scale (g=32) — fp16 EXACTLY as stored
+                           on disk (ggml-common.h:144 block_q*_0.d is
+                           ggml_fp16_t), halving scale HBM traffic vs f32.
+                           Q2_K keeps f32: its effective per-16 scales are
+                           d*sc products that exceed the fp16 mantissa.
+  mins    f16   (K/g, N)   (Q4_1/Q5_1: m; Q2_K: f32 effective dmin*mn,
+                           negated at use site)
 
 rows layout (row-major, used for quantized embedding-table gather):
 
@@ -64,6 +68,20 @@ SPECS: dict[GGMLType, QFormatSpec] = {
 # NOTE: Q2_K's on-disk semantics are w = d*sc*q - dmin*mn; the repacked
 # planes store scales = d*sc and mins = -(dmin*mn) so that every format
 # dequantizes uniformly as w = (q - zero) * scale + min.
+
+
+def _narrow_scales(out: dict[str, np.ndarray],
+                   qtype: GGMLType) -> dict[str, np.ndarray]:
+    """Store scale/min planes as fp16 where that is EXACT (the on-disk GGUF
+    scale is fp16, so f32->f16 is a lossless roundtrip). Q2_K's effective
+    per-16 scales are d*sc / dmin*mn products needing >10 mantissa bits —
+    they stay f32."""
+    if qtype == GGMLType.Q2_K:
+        return out
+    for key in ("scales", "mins"):
+        if key in out:
+            out[key] = out[key].astype(np.float16)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +188,7 @@ def repack_mm(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]
     from tpulamm.quant import native
     out = native.repack(raw, qtype, k, "mm")
     if out is not None:
-        return out
+        return _narrow_scales(out, qtype)
     vals, scales, mins = extract_ints(raw, qtype, k)
     if qtype == GGMLType.Q2_K:
         mins = -mins
@@ -187,7 +205,7 @@ def repack_mm(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]
     out["scales"] = np.ascontiguousarray(scales.T.astype(np.float32))
     if mins is not None:
         out["mins"] = np.ascontiguousarray(mins.T.astype(np.float32))
-    return out
+    return _narrow_scales(out, qtype)
 
 
 def repack_rows(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]:
@@ -196,7 +214,7 @@ def repack_rows(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarra
     from tpulamm.quant import native
     out = native.repack(raw, qtype, k, "rows")
     if out is not None:
-        return out
+        return _narrow_scales(out, qtype)
     vals, scales, mins = extract_ints(raw, qtype, k)
     if qtype == GGMLType.Q2_K:
         mins = -mins
@@ -218,4 +236,4 @@ def repack_rows(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarra
     out["scales"] = np.ascontiguousarray(scales.astype(np.float32))
     if mins is not None:
         out["mins"] = np.ascontiguousarray(mins.astype(np.float32))
-    return out
+    return _narrow_scales(out, qtype)

@@ -34,6 +34,11 @@ from tpulamm.tokenizer.spm import build_tokenizer
 PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
+class AbortError(RuntimeError):
+    """Raised when the abort callback requests cancellation mid-compute
+    (ggml_abort_callback parity, ggml.c:18328 / llama.h:654)."""
+
+
 @dataclass
 class Timings:
     t_load: float = 0.0
@@ -73,17 +78,24 @@ class Engine:
                  n_slots: int = 1, n_ubatch: int = 512,
                  compute_dtype: str | None = None, kv_dtype=jnp.bfloat16,
                  grp_attn_n: int = 1, grp_attn_w: int = 512,
-                 lora_path: str | None = None, kv_overrides=None):
+                 lora_path: str | None = None, kv_overrides=None,
+                 tp: int = 1, dp: int = 1, flash_attn: bool | None = None,
+                 load_abort=None):
         t0 = time.perf_counter()
         self.cfg, self.params, self.metadata = load_model(
             model_path, compute_dtype=compute_dtype,
-            kv_overrides=kv_overrides)
+            kv_overrides=kv_overrides, abort=load_abort)
+        self.cfg.flash_attn = flash_attn
         if lora_path:
             # llama_model_apply_lora_from_file parity (llama.h:436)
             from tpulamm.train.lora import (apply_lora_to_qparams,
                                             load_lora_gguf)
             self.params = apply_lora_to_qparams(
                 self.params, load_lora_gguf(lora_path), self.cfg)
+        self.tp, self.dp = int(tp), int(dp)
+        self.mesh = None
+        if self.tp * self.dp > 1:
+            self._validate_mesh(n_slots)
         self._fuse_projections()
         self.tokenizer = (build_tokenizer(self.metadata)
                           if "tokenizer.ggml.tokens" in self.metadata else None)
@@ -92,6 +104,9 @@ class Engine:
         self.n_ubatch = n_ubatch
         self.grp_attn_n = grp_attn_n
         self.grp_attn_w = grp_attn_w
+        # tokens preserved at the start of the window on context shift
+        # (gpt_params.n_keep / --keep; main.cpp:540)
+        self.n_keep = 4
         # recurrent archs (mamba) carry an SSM state instead of a KV cache
         self.recurrent = self.cfg.arch == "mamba"
         if self.recurrent:
@@ -111,17 +126,33 @@ class Engine:
         self.ga_i = np.zeros(n_slots, np.int64)      # self-extend group index
         self.timings = Timings()
 
-        cfg = self.cfg
+        # mesh execution: place params + cache on the ("dp","tp") mesh and
+        # build the per-shard cfg the shard_map step bodies run with (local
+        # head counts; forward() inserts the megatron psums/all-gathers)
+        self.cfg_step = self.cfg
+        if self.tp * self.dp > 1:
+            self._setup_mesh()
+        cfg = self.cfg_step
         if self.recurrent:
             from tpulamm.models.mamba import forward as model_forward
         else:
             model_forward = forward
+        self._model_forward = model_forward
 
         def step(params, tokens, positions, cache, slots, cells):
             return model_forward(params, cfg, tokens, positions, cache,
                                  slots, cells)
 
-        self._step = jax.jit(step, donate_argnums=(3,))
+        if self.mesh is None:
+            self._step = jax.jit(step, donate_argnums=(3,))
+        else:
+            from jax.sharding import PartitionSpec as P
+            self._step = self._wrap_step(
+                step,
+                in_specs=(self._pspecs, P("dp", None), P("dp", None),
+                          self._cache_pspecs, None, P("dp", None)),
+                out_specs=(P("dp", None, None), self._cache_pspecs),
+                donate=(3,))
         # position-surgery ops jitted once; p0/p1/delta are traced scalars so
         # repeated shifts don't recompile
         self._jit_seq_rm = jax.jit(kv.seq_rm, donate_argnums=(0,))
@@ -129,7 +160,123 @@ class Engine:
                                     donate_argnums=(0,))
         self._jit_seq_div = jax.jit(kv.seq_div, static_argnums=(5,),
                                     donate_argnums=(0,))
+        self._jit_defrag = jax.jit(kv.defrag, donate_argnums=(0,))
+        # abort_callback (llama.h:654): checked between ubatches / decode
+        # blocks; None = never abort
+        self.abort_callback = None
         self.timings.t_load = time.perf_counter() - t0
+
+    def set_abort_callback(self, cb) -> None:
+        """cb() -> bool; True aborts the next compute boundary."""
+        self.abort_callback = cb
+
+    def _check_abort(self):
+        if self.abort_callback is not None and self.abort_callback():
+            raise AbortError("aborted by callback")
+
+    # -- mesh execution (tensor/data parallel serving) ------------------------
+    def _validate_mesh(self, n_slots: int):
+        """Engine-level mesh constraints, checked before any placement."""
+        tp, dp = self.tp, self.dp
+        if self.cfg.arch == "mamba" and tp > 1:
+            raise ValueError("recurrent (mamba) models support dp only")
+        if tp > 1:
+            if self.cfg.n_heads % tp:
+                raise ValueError(
+                    f"n_heads={self.cfg.n_heads} not divisible by tp={tp}")
+            if self.cfg.n_kv_heads % tp:
+                raise ValueError(
+                    f"n_kv_heads={self.cfg.n_kv_heads} not divisible by "
+                    f"tp={tp} (choose tp <= n_kv_heads that divides it)")
+        if n_slots % dp:
+            raise ValueError(f"n_slots={n_slots} not divisible by dp={dp}")
+        import jax as _jax
+        if len(_jax.devices()) < tp * dp:
+            raise ValueError(f"mesh ({dp}, {tp}) needs {tp * dp} devices, "
+                             f"have {len(_jax.devices())}")
+
+    def _setup_mesh(self):
+        from dataclasses import replace as _replace
+
+        from tpulamm.ops.qtensor import QTensor
+        from tpulamm.parallel.mesh import (cache_pspecs, make_mesh,
+                                           param_pspecs, put_tree)
+        self.mesh = make_mesh(self.dp, self.tp)
+        self._pspecs = param_pspecs(self.params, self.cfg, self.mesh)
+        self.params = put_tree(self.params, self._pspecs, self.mesh)
+        self._cache_pspecs = cache_pspecs(self.cache, self.mesh)
+        self.cache = put_tree(self.cache, self._cache_pspecs, self.mesh)
+        # must mirror param_pspecs' col() decision for "output" exactly:
+        # a sharded head without the all-gather (or vice versa) misshapes
+        # the logits
+        out_w = self.params.get("output")
+        head_sharded = False
+        if self.tp > 1 and out_w is not None:
+            mm = (out_w.layout == "mm" if isinstance(out_w, QTensor)
+                  else True)
+            head_sharded = mm and out_w.shape[0] % self.tp == 0
+        def _sharded(spec, w, dim) -> bool:
+            """Is `spec` sharded along logical dim (0=N, 1=K)?"""
+            if spec is None or w is None:
+                return False
+            if isinstance(w, QTensor):
+                p = spec.planes["scales"]     # (K/g, N): K first, N last
+                ax = p[1 - dim] if len(p) > 1 - dim else None
+            else:                             # dense (N, K)
+                ax = spec[dim] if len(spec) > dim else None
+            return ax is not None
+
+        def _row_mode(lyr, specs, wkey, colkey) -> str:
+            if lyr.get(wkey) is None:
+                return "none"
+            if _sharded(specs.get(wkey), lyr.get(wkey), 1):
+                return "psum"
+            colw = lyr.get(colkey)
+            if colkey.endswith("_exp"):
+                colw = (colw or [None])[0]
+                colspec = (specs.get(colkey) or [None])[0]
+            else:
+                colspec = specs.get(colkey)
+            if _sharded(colspec, colw, 0):
+                return "gather"
+            return "none"
+
+        row_attn = row_ffn = row_moe = "none"
+        layers = self.params.get("layers", [])
+        if self.tp > 1 and layers:
+            lyr, specs = layers[0], self._pspecs["layers"][0]
+            row_attn = _row_mode(lyr, specs, "wo", "wq")
+            gate_key = "w_gate" if lyr.get("w_gate") is not None else "w_up"
+            row_ffn = _row_mode(lyr, specs, "w_down", gate_key)
+            if lyr.get("ffn_down_exp") is not None:
+                dspec = self._pspecs["layers"][0]["ffn_down_exp"][0]
+                if _sharded(dspec, lyr["ffn_down_exp"][0], 1):
+                    row_moe = "psum"
+                else:
+                    gspec = (self._pspecs["layers"][0].get("ffn_gate_exp")
+                             or self._pspecs["layers"][0].get("ffn_up_exp")
+                             or [None])[0]
+                    gw = (lyr.get("ffn_gate_exp") or lyr.get("ffn_up_exp")
+                          or [None])[0]
+                    row_moe = "gather" if _sharded(gspec, gw, 0) else "none"
+        self.cfg_step = _replace(
+            self.cfg,
+            n_heads=self.cfg.n_heads // self.tp,
+            n_kv_heads=self.cfg.n_kv_heads // self.tp,
+            head_dim_kv=self.cfg.head_dim,      # freeze global head geometry
+            tp=self.tp,
+            tp_axis="tp" if self.tp > 1 else None,
+            head_sharded=head_sharded,
+            row_attn=row_attn, row_ffn=row_ffn, row_moe=row_moe,
+        )
+
+    def _wrap_step(self, fn, in_specs, out_specs, donate=()):
+        """shard_map over the engine mesh + jit. Step bodies see LOCAL
+        shards; collectives are explicit in forward() (_proj_row psums,
+        lm-head all-gather)."""
+        sm = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(sm, donate_argnums=donate)
 
     def _fuse_projections(self):
         """Fuse QKV and gate+up QTensors into single kernels (plane concat
@@ -138,17 +285,27 @@ class Engine:
 
         Also tile-pads the lm head: vocab sizes like 32000 only tile at
         tn=256 (250 grid steps/call); padding to a 1024 multiple cuts that
-        4x. forward() slices the logits back to vocab_size."""
+        4x. forward() slices the logits back to vocab_size.
+
+        Under tensor parallelism (tp > 1) QKV/gate-up fusion is skipped: a
+        contiguous N-shard of the concatenated tensor would cross the
+        q/k/v (or gate/up) boundary, breaking the head-aligned megatron
+        layout. The per-projection matmuls are tp-wide there anyway."""
         from tpulamm.ops.qtensor import QTensor
         out_w = self.params.get("output")
+        # pad quantum: 1024 (tiling), and under tp also tp*128 so each
+        # vocab shard still tiles on the MXU
+        quant = 1024 if self.tp <= 1 else np.lcm(1024, self.tp * 128)
         if (isinstance(out_w, QTensor) and out_w.layout == "mm"
-                and out_w.shape[0] % 1024 != 0 and out_w.shape[0] >= 4096):
-            n_pad = -(-out_w.shape[0] // 1024) * 1024
+                and out_w.shape[0] % quant != 0 and out_w.shape[0] >= 4096):
+            n_pad = -(-out_w.shape[0] // quant) * quant
             self.params["output"] = out_w.pad_n(n_pad)
             if self.params.get("output_b") is not None:
                 b = self.params["output_b"]
                 self.params["output_b"] = jnp.pad(
                     b, (0, n_pad - b.shape[0]))
+        if self.tp > 1:
+            return
         for layer in self.params.get("layers", []):
             ws = [layer.get(k) for k in ("wq", "wk", "wv")]
             if (all(isinstance(w, QTensor) and w.layout == "mm" for w in ws)
@@ -195,24 +352,38 @@ class Engine:
         prefill wall-time on remote transports."""
         t = len(tokens)
         bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
-        pad = bucket - t
-        tok = np.zeros(bucket, np.int32)
-        tok[:t] = tokens
-        pos = np.full(bucket, -1, np.int32)
-        pos[:t] = positions
-        cel = np.full(bucket, self.n_ctx, np.int32)  # pads -> trash cell
-        cel[:t] = cells
+        if self.mesh is not None:
+            # mesh path: the batch always covers all slots in order (only
+            # `slot`'s row is live; others pad to the trash cell) so the
+            # step shards rows over dp and never gathers by slot id
+            rows, r = self.n_slots, slot
+            slots_arg = None
+        else:
+            rows, r = 1, 0
+            slots_arg = (None if self.n_slots == 1
+                         else jnp.full((1,), slot, jnp.int32))
+        tok = np.zeros((rows, bucket), np.int32)
+        tok[r, :t] = tokens
+        pos = np.full((rows, bucket), -1, np.int32)
+        pos[r, :t] = positions
+        cel = np.full((rows, bucket), self.n_ctx, np.int32)  # pads -> trash
+        cel[r, :t] = cells
         logits, self.cache = self._step(
-            self.params,
-            jnp.asarray(tok)[None, :],
-            jnp.asarray(pos)[None, :],
-            self.cache,
-            None if self.n_slots == 1 else jnp.full((1,), slot, jnp.int32),
-            jnp.asarray(cel)[None, :],
-        )
+            self.params, jnp.asarray(tok), jnp.asarray(pos), self.cache,
+            slots_arg, jnp.asarray(cel))
         if all_logits:
-            return np.asarray(logits[0, :t])
-        return np.asarray(logits[0, t - 1:t])   # device-side slice
+            return np.asarray(logits[r, :t])
+        return np.asarray(logits[r, t - 1:t])   # device-side slice
+
+    def _rows_for_step(self, slot: int):
+        """(rows, live_row, slots_arg) for a single-slot step: 1-row batch
+        with a slot gather normally; the full all-slots batch under a mesh
+        (rows shard over dp; no gather)."""
+        if self.mesh is not None:
+            return self.n_slots, slot, None
+        if self.n_slots == 1:
+            return 1, 0, None
+        return 1, 0, jnp.full((1,), slot, jnp.int32)
 
     def _cells_for(self, slot: int, n: int, positions: np.ndarray) -> np.ndarray:
         """Allocate n free cells (host mirror of llama_kv_cache_find_slot)."""
@@ -244,6 +415,7 @@ class Engine:
         out = []
         toks = np.asarray(tokens, np.int32)
         for off in range(0, len(toks), self.n_ubatch):
+            self._check_abort()
             chunk = toks[off:off + self.n_ubatch]
             pos = self.n_past[slot] + np.arange(len(chunk))
             cells = self._cells_for(slot, len(chunk), pos)
@@ -302,36 +474,47 @@ class Engine:
                 f"non-causal embedding input ({len(tokens)} tokens) exceeds "
                 f"n_ubatch={self.n_ubatch}; raise n_ubatch/n_ctx")
         if not hasattr(self, "_embed_step"):
-            cfg = self.cfg
+            cfg = self.cfg_step
             params_nh = {k: v for k, v in self.params.items()
                          if k not in ("output", "output_b")}
 
             def estep(params, toks, positions, cache, slots, cells):
                 return forward(params, cfg, toks, positions, cache, slots,
                                cells)
-            self._embed_step = jax.jit(estep, donate_argnums=(3,))
+            if self.mesh is None:
+                self._embed_step = jax.jit(estep, donate_argnums=(3,))
+            else:
+                from jax.sharding import PartitionSpec as P
+                pspecs_nh = {k: v for k, v in self._pspecs.items()
+                             if k not in ("output", "output_b")}
+                self._embed_step = self._wrap_step(
+                    estep,
+                    in_specs=(pspecs_nh, P("dp", None), P("dp", None),
+                              self._cache_pspecs, None, P("dp", None)),
+                    out_specs=(P("dp", None, None), self._cache_pspecs),
+                    donate=(3,))
             self._embed_params = params_nh
 
         self.reset_slot(slot)
         outs = []
         toks = np.asarray(tokens, np.int32)
+        rows, r, slots_arg = self._rows_for_step(slot)
         for off in range(0, len(toks), self.n_ubatch):
             chunk = toks[off:off + self.n_ubatch]
             pos = self.n_past[slot] + np.arange(len(chunk))
             cells = self._cells_for(slot, len(chunk), pos)
             t = len(chunk)
             bucket = next(b for b in PREFILL_BUCKETS if b >= t)
-            tok = np.zeros(bucket, np.int32)
-            tok[:t] = chunk
-            p = np.full(bucket, -1, np.int32)
-            p[:t] = pos
-            cel = np.full(bucket, self.n_ctx, np.int32)
-            cel[:t] = cells
+            tok = np.zeros((rows, bucket), np.int32)
+            tok[r, :t] = chunk
+            p = np.full((rows, bucket), -1, np.int32)
+            p[r, :t] = pos
+            cel = np.full((rows, bucket), self.n_ctx, np.int32)
+            cel[r, :t] = cells
             hidden, self.cache = self._embed_step(
-                self._embed_params, jnp.asarray(tok)[None, :],
-                jnp.asarray(p)[None, :], self.cache,
-                jnp.full((1,), slot, jnp.int32), jnp.asarray(cel)[None, :])
-            outs.append(np.asarray(hidden[0, :t]))
+                self._embed_params, jnp.asarray(tok), jnp.asarray(p),
+                self.cache, slots_arg, jnp.asarray(cel))
+            outs.append(np.asarray(hidden[r, :t]))
             self.n_past[slot] += t
         h = np.concatenate(outs)                     # (T, dim)
         if pooling == "none":
@@ -352,28 +535,38 @@ class Engine:
         (the reference expresses it with per-token seq_id lists)."""
         assert not self.recurrent, "segmented eval needs attention"
         if not hasattr(self, "_seg_step"):
-            cfg = self.cfg
+            cfg = self.cfg_step
 
             def sstep(params, toks, pos, cache, slots, cells, segs):
                 return forward(params, cfg, toks, pos, cache, slots, cells,
                                segs)
-            self._seg_step = jax.jit(sstep, donate_argnums=(3,))
+            if self.mesh is None:
+                self._seg_step = jax.jit(sstep, donate_argnums=(3,))
+            else:
+                from jax.sharding import PartitionSpec as P
+                self._seg_step = self._wrap_step(
+                    sstep,
+                    in_specs=(self._pspecs, P("dp", None), P("dp", None),
+                              self._cache_pspecs, None, P("dp", None),
+                              P("dp", None)),
+                    out_specs=(P("dp", None, None), self._cache_pspecs),
+                    donate=(3,))
         t = len(tokens)
         cells = self._cells_for(slot, t, np.asarray(positions))
         bucket = next(b for b in PREFILL_BUCKETS if b >= t)
-        tok = np.zeros(bucket, np.int32)
-        tok[:t] = tokens
-        pos = np.full(bucket, -1, np.int32)
-        pos[:t] = positions
-        sg = np.zeros(bucket, np.int32)
-        sg[:t] = segs
-        cel = np.full(bucket, self.n_ctx, np.int32)
-        cel[:t] = cells
+        rows, r, slots_arg = self._rows_for_step(slot)
+        tok = np.zeros((rows, bucket), np.int32)
+        tok[r, :t] = tokens
+        pos = np.full((rows, bucket), -1, np.int32)
+        pos[r, :t] = positions
+        sg = np.zeros((rows, bucket), np.int32)
+        sg[r, :t] = segs
+        cel = np.full((rows, bucket), self.n_ctx, np.int32)
+        cel[r, :t] = cells
         logits, self.cache = self._seg_step(
-            self.params, jnp.asarray(tok)[None], jnp.asarray(pos)[None],
-            self.cache, jnp.full((1,), slot, jnp.int32),
-            jnp.asarray(cel)[None], jnp.asarray(sg)[None])
-        return np.asarray(logits[0, :t])
+            self.params, jnp.asarray(tok), jnp.asarray(pos),
+            self.cache, slots_arg, jnp.asarray(cel), jnp.asarray(sg))
+        return np.asarray(logits[r, :t])
 
     def eval_tokens(self, slot: int, tokens: list[int]) -> np.ndarray:
         """Evaluate a token chunk, returning logits at every position
@@ -395,34 +588,44 @@ class Engine:
         the final position's logits."""
         assert not self.recurrent, "embedding injection needs attention"
         if not hasattr(self, "_embd_step"):
-            cfg = self.cfg
+            cfg = self.cfg_step
 
             def dstep(params, emb, pos, cache, slots, cells):
                 toks = jnp.zeros(emb.shape[:2], jnp.int32)
                 return forward(params, cfg, toks, pos, cache, slots, cells,
                                embeds=emb)
-            self._embd_step = jax.jit(dstep, donate_argnums=(3,))
+            if self.mesh is None:
+                self._embd_step = jax.jit(dstep, donate_argnums=(3,))
+            else:
+                from jax.sharding import PartitionSpec as P
+                self._embd_step = self._wrap_step(
+                    dstep,
+                    in_specs=(self._pspecs, P("dp", None, None),
+                              P("dp", None), self._cache_pspecs, None,
+                              P("dp", None)),
+                    out_specs=(P("dp", None, None), self._cache_pspecs),
+                    donate=(3,))
         t0 = time.perf_counter()
         out = None
         embeds = np.asarray(embeds, np.float32)
+        rows, r, slots_arg = self._rows_for_step(slot)
         for off in range(0, len(embeds), self.n_ubatch):
             chunk = embeds[off:off + self.n_ubatch]
             t = len(chunk)
             pos = (self.n_past[slot] + np.arange(t)).astype(np.int32)
             cells = self._cells_for(slot, t, pos)
             bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
-            emb = np.zeros((bucket, embeds.shape[1]), np.float32)
-            emb[:t] = chunk
-            posb = np.full(bucket, -1, np.int32)
-            posb[:t] = pos
-            cel = np.full(bucket, self.n_ctx, np.int32)
-            cel[:t] = cells
+            emb = np.zeros((rows, bucket, embeds.shape[1]), np.float32)
+            emb[r, :t] = chunk
+            posb = np.full((rows, bucket), -1, np.int32)
+            posb[r, :t] = pos
+            cel = np.full((rows, bucket), self.n_ctx, np.int32)
+            cel[r, :t] = cells
             logits, self.cache = self._embd_step(
-                self.params, jnp.asarray(emb)[None], jnp.asarray(posb)[None],
-                self.cache, jnp.full((1,), slot, jnp.int32),
-                jnp.asarray(cel)[None])
+                self.params, jnp.asarray(emb), jnp.asarray(posb),
+                self.cache, slots_arg, jnp.asarray(cel))
             self.n_past[slot] += t
-            out = np.asarray(logits[0, t - 1])
+            out = np.asarray(logits[r, t - 1])
         self.timings.t_eval += time.perf_counter() - t0
         self.timings.n_eval += len(embeds)
         return out
@@ -489,7 +692,9 @@ class Engine:
         cp[m] //= d
 
     # -- context management (main.cpp:540-598) --------------------------------
-    def _maybe_shift(self, slot: int, n_keep: int = 4):
+    def _maybe_shift(self, slot: int, n_keep: int | None = None):
+        if n_keep is None:
+            n_keep = self.n_keep
         if self.recurrent:               # unbounded context; nothing to shift
             return
         if self.grp_attn_n > 1:
@@ -504,6 +709,22 @@ class Engine:
         self.seq_add(slot, n_keep + n_discard, int(self.n_past[slot]),
                      -n_discard)
         self.n_past[slot] -= n_discard
+        # compact the hole away (llama_kv_cache_defrag, llama.cpp:2535):
+        # restores cell i == position i so decode_batch_fast / the server
+        # fast path re-qualify after a shift
+        self.defrag()
+
+    def defrag(self):
+        """Compact live cells to the front of every slot, preserving
+        order, and update the host cell mirror accordingly."""
+        if self.recurrent:
+            return
+        self.cache = self._jit_defrag(self.cache)
+        for s in range(self.n_slots):
+            row = self.cell_pos[s]
+            live = row[row >= 0]
+            row[:] = -1
+            row[:len(live)] = live
 
     def _self_extend(self, slot: int):
         """Self-extend grouped attention position surgery (main.cpp:575-598)."""
@@ -559,19 +780,15 @@ class Engine:
 
         return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
 
-    def _build_batch_scan(self):
-        """Jitted multi-slot decode scan: N tokens for ALL slots per
+    def _batch_scan_body(self, n_steps: int, top_k: int, greedy: bool):
+        """Multi-slot decode scan body: N tokens for ALL slots per
         dispatch (the serving path: continuous-batching throughput is
-        dominated by per-step dispatch otherwise)."""
-        cfg = self.cfg
-        if self.recurrent:
-            from tpulamm.models.mamba import forward as model_forward
-        else:
-            model_forward = forward
-        B = self.n_slots
+        dominated by per-step dispatch otherwise). Statics are closed over
+        (not jit-static) so the same body runs under shard_map."""
+        cfg = self.cfg_step
+        model_forward = self._model_forward
 
-        def run(params, cache, toks, pos, active, n_steps, key, temp, top_k,
-                greedy):
+        def run(params, cache, toks, pos, active, key, temp):
             slots = None        # batch covers all slots in order (no gather)
 
             def step(carry, _):
@@ -600,7 +817,29 @@ class Engine:
                 step, (cache, toks, pos, key), None, length=n_steps)
             return out, cache
 
-        return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
+        return run
+
+    def _batch_scan_exec(self, n_steps: int, top_k: int, greedy: bool):
+        """Compiled batch scan for one (n_steps, top_k, greedy) combo
+        (DECODE_BUCKETS keeps the variant count small)."""
+        if not hasattr(self, "_batch_scan_cache"):
+            self._batch_scan_cache = {}
+        key3 = (n_steps, top_k, greedy)
+        fn = self._batch_scan_cache.get(key3)
+        if fn is None:
+            body = self._batch_scan_body(n_steps, top_k, greedy)
+            if self.mesh is None:
+                fn = jax.jit(body, donate_argnums=(1,))
+            else:
+                from jax.sharding import PartitionSpec as P
+                fn = self._wrap_step(
+                    body,
+                    in_specs=(self._pspecs, self._cache_pspecs, P("dp"),
+                              P("dp"), P("dp"), P(), P("dp")),
+                    out_specs=(P(None, "dp"), self._cache_pspecs),
+                    donate=(1,))
+            self._batch_scan_cache[key3] = fn
+        return fn
 
     def decode_batch_fast(self, toks: dict[int, int], n_steps: int, *,
                           temp: dict[int, float] | float = 0.0,
@@ -622,8 +861,6 @@ class Engine:
             if n + n_steps + 1 > self.n_ctx:
                 raise ValueError("decode_batch_fast would overflow n_ctx")
         t0 = time.perf_counter()
-        if not hasattr(self, "_batch_scan"):
-            self._batch_scan = self._build_batch_scan()
         B = self.n_slots
         tok = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
@@ -635,10 +872,10 @@ class Engine:
             act[s] = True
             tv[s] = temp if isinstance(temp, (int, float)) else temp.get(s, 0.0)
         greedy = bool(np.all(tv[act] <= 0.0))
-        out, self.cache = self._batch_scan(
+        scan = self._batch_scan_exec(int(n_steps), int(top_k), greedy)
+        out, self.cache = scan(
             self.params, self.cache, jnp.asarray(tok), jnp.asarray(pos),
-            jnp.asarray(act), int(n_steps), jax.random.PRNGKey(seed),
-            jnp.asarray(tv), int(top_k), greedy)
+            jnp.asarray(act), jax.random.PRNGKey(seed), jnp.asarray(tv))
         out = np.asarray(out)                            # (n_steps, B)
         res = {}
         for s in toks:
@@ -667,36 +904,62 @@ class Engine:
         else:
             tokens = list(prompt)
         self.reset_slot(slot)
-        t0 = time.perf_counter()
         logits = self.prefill(slot, tokens)
+        t0 = time.perf_counter()
         first = int(np.argmax(logits))   # first token greedy; rest on device
-        if not hasattr(self, "_decode_scan"):
-            self._decode_scan = self._build_decode_scan()
-        n = next((b for b in self.DECODE_BUCKETS if b >= n_predict - 1),
-                 self.DECODE_BUCKETS[-1])
-        n = min(n, self.n_ctx - int(self.n_past[slot]) - 1)
-        if n <= 0:
-            # context already full after the prompt: only `first` fits
-            eos_ = self.tokenizer.vocab.eos_id if self.tokenizer else 2
-            outs = [] if (stop_on_eos and first == eos_) else [first]
-            return outs, (self.tokenizer.decode(outs)
-                          if self.tokenizer else "")
-        start = int(self.n_past[slot])
-        toks, self.cache = self._decode_scan(
-            self.params, self.cache, jnp.int32(first), jnp.int32(start),
-            jnp.int32(slot), n, jax.random.PRNGKey(seed),
-            jnp.float32(temp), int(top_k), temp <= 0.0)
-        toks = np.asarray(toks)
-        out = [first] + [int(t) for t in toks[:n_predict - 1]]
-        # host mirrors: scan step i wrote the carry token's KV at cell/pos
-        # start+i, i.e. cells start..start+n-1
-        self.n_past[slot] = start + n
-        self.cell_pos[slot, start:start + n] = np.arange(start, start + n)
-        self.timings.t_eval += time.perf_counter() - t0
-        self.timings.n_eval += len(out)
         eos = self.tokenizer.vocab.eos_id if self.tokenizer else 2
+        if self.mesh is None and not hasattr(self, "_decode_scan"):
+            self._decode_scan = self._build_decode_scan()
+        start0 = int(self.n_past[slot])
+        out = [first]
+        cur = first
+        # scan in bucket-sized blocks until n_predict tokens (or EOS, checked
+        # host-side between blocks) — a single bucket silently capped long
+        # generations at DECODE_BUCKETS[-1]+1 tokens before
+        while len(out) < n_predict and not (stop_on_eos and eos in out):
+            if self.abort_callback is not None and self.abort_callback():
+                break                    # return what we have (partial)
+            remaining = n_predict - len(out)
+            n = next((b for b in self.DECODE_BUCKETS if b >= remaining),
+                     self.DECODE_BUCKETS[-1])
+            n = min(n, self.n_ctx - int(self.n_past[slot]) - 1)
+            if n <= 0:
+                break                    # context full
+            if self.mesh is not None:
+                # mesh path: the all-slots batch scan (decode_batch_fast
+                # keeps the host mirrors); only `slot` is active
+                block = self.decode_batch_fast(
+                    {slot: cur}, n, temp=temp, top_k=top_k,
+                    seed=seed + len(out))[slot]
+                out.extend(block)
+                cur = out[-1]
+                continue
+            startb = int(self.n_past[slot])
+            toks, self.cache = self._decode_scan(
+                self.params, self.cache, jnp.int32(cur), jnp.int32(startb),
+                jnp.int32(slot), n, jax.random.PRNGKey(seed + len(out)),
+                jnp.float32(temp), int(top_k), temp <= 0.0)
+            toks = np.asarray(toks)
+            # scan step i wrote the carry token's KV at cell/pos startb+i
+            self.n_past[slot] = startb + n
+            self.cell_pos[slot, startb:startb + n] = \
+                np.arange(startb, startb + n)
+            out.extend(int(t) for t in toks)
+            cur = out[-1]
+        total_written = int(self.n_past[slot]) - start0
+        out = out[:n_predict]
         if stop_on_eos and eos in out:
             out = out[:out.index(eos)]
+        # roll device/host state back to exactly the returned sequence: the
+        # scan ran a full bucket regardless of EOS/n_predict, so without this
+        # the KV holds post-EOS/over-run tokens a later save_session or
+        # continued decode would silently include. (The very last returned
+        # token's KV is pending — written on the next decode step — matching
+        # the host-loop generate() contract.)
+        self.rollback(slot, start0 + min(len(out), total_written))
+        if self.mesh is None:    # mesh blocks went through decode_batch_fast,
+            self.timings.t_eval += time.perf_counter() - t0
+            self.timings.n_eval += len(out)   # which counts its own timings
         text = self.tokenizer.decode(out) if self.tokenizer else ""
         return out, text
 
@@ -756,6 +1019,8 @@ class Engine:
         import codecs
         sdec = codecs.getincrementaldecoder("utf-8")("replace")
         for _ in range(n_predict):
+            if self.abort_callback is not None and self.abort_callback():
+                break                    # partial output, slot stays valid
             t0 = time.perf_counter()
             if use_cfg:
                 from tpulamm.runtime.sampling import apply_guidance

@@ -59,8 +59,12 @@ class KVCache:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        # no validation/normalization here: transforms (shard_map, jit)
+        # unflatten with placeholder children (None, tracers, specs)
         k, v, pos, seg = children
-        return cls(list(k), list(v), pos, seg)
+        obj = object.__new__(cls)
+        obj.k, obj.v, obj.pos, obj.seg = list(k), list(v), pos, seg
+        return obj
 
     # -- construction -------------------------------------------------------
     @staticmethod

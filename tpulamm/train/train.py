@@ -61,11 +61,23 @@ def sample_batches(data: np.ndarray, tc: TrainConfig):
 
 def train(params: dict, cfg: ModelConfig, data: np.ndarray,
           tc: TrainConfig, log_every: int = 10, log=print,
-          grad_mask=None):
+          grad_mask=None, mesh=None):
     """Optimize params on a token stream; returns (params, losses).
 
     grad_mask: optional pytree of {0,1} matching params — zeroes gradients
-    of frozen tensors (used by LoRA finetuning)."""
+    of frozen tensors (used by LoRA finetuning).
+
+    mesh: optional ("dp","tp") jax.sharding.Mesh. Dense training shards
+    with plain GSPMD annotations (no custom kernels on this path): params
+    get the megatron layout from parallel/mesh.py, batches shard over dp,
+    and XLA places the collectives (psum of dp gradients, tp all-gathers)."""
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpulamm.parallel.mesh import shard_params
+        params = shard_params(params, cfg, mesh)
+        batch_sharding = NamedSharding(mesh, P("dp", None))
     opt = make_optimizer(tc)
     opt_state = opt.init(params)
 
@@ -90,6 +102,8 @@ def train(params: dict, cfg: ModelConfig, data: np.ndarray,
     t0 = time.perf_counter()
     for i in range(tc.n_steps):
         batch = jnp.asarray(next(batches), jnp.int32)
+        if batch_sharding is not None:
+            batch = jax.device_put(batch, batch_sharding)
         params, opt_state, loss = step(params, opt_state, batch)
         losses.append(float(loss))
         if log_every and (i % log_every == 0 or i == tc.n_steps - 1):
