@@ -145,3 +145,65 @@ def test_llava_cli_smoke(clip_setup, tmp_path, capsys):
                      "-c", "128"])
     assert rc == 0
     assert capsys.readouterr().out.strip() != ""
+
+
+# ---------------------------------------------------------------------------
+# llava-1.6 anyres grids
+# ---------------------------------------------------------------------------
+
+def test_select_best_resolution():
+    from tpulamm.models.clip import select_best_resolution
+    # flat [w, h, ...] pinpoint list, original 48x96 (h, w)
+    pins = (64, 32, 32, 64, 64, 64)
+    assert select_best_resolution((48, 96), pins) == (32, 64)
+    assert select_best_resolution((96, 48), pins) == (64, 32)
+
+
+def test_preprocess_anyres_tiles():
+    from dataclasses import replace
+
+    from tpulamm.models.clip import preprocess_anyres
+    cfg = ClipVisionConfig(
+        hidden_size=HID, n_heads=HEADS, n_layers=LAYERS, n_ff=FF,
+        image_size=IMG, patch_size=PATCH,
+        image_grid_pinpoints=(64, 32, 32, 64, 64, 64))
+    img = np.random.default_rng(0).integers(
+        0, 255, (48, 96, 3)).astype(np.uint8)
+    tiles, (gy, gx), orig = preprocess_anyres(img, cfg)
+    assert (gy, gx) == (1, 2)
+    assert tiles.shape == (3, IMG, IMG, 3)      # base + 2 grid tiles
+    assert orig == (48, 96)
+
+
+def test_encode_image_anyres_spatial_unpad(clip_setup):
+    from dataclasses import replace
+
+    from tpulamm.models.clip import encode_image_anyres, load_clip
+    _, _, path = clip_setup
+    cfg, params = load_clip(path, compute_dtype=np.float32)
+    cfg = replace(cfg, image_grid_pinpoints=(64, 32, 32, 64, 64, 64),
+                  mm_patch_merge_type="spatial_unpad")
+    params["image_newline"] = np.zeros(PROJ, np.float32)
+    img = np.random.default_rng(1).integers(
+        0, 255, (48, 96, 3)).astype(np.uint8)
+    emb = encode_image_anyres(cfg, params, img)
+    # base 16 patches + (4 rows x (8 cols + newline)) = 52
+    ph = IMG // PATCH
+    assert emb.shape == (ph * ph + ph * (2 * ph + 1), PROJ)
+    assert np.isfinite(emb).all()
+
+
+def test_encode_image_anyres_flat(clip_setup):
+    from dataclasses import replace
+
+    from tpulamm.models.clip import encode_image_anyres, load_clip
+    _, _, path = clip_setup
+    cfg, params = load_clip(path, compute_dtype=np.float32)
+    cfg = replace(cfg, image_grid_pinpoints=(64, 64),
+                  mm_patch_merge_type="flat")
+    img = np.random.default_rng(2).integers(
+        0, 255, (50, 50, 3)).astype(np.uint8)
+    emb = encode_image_anyres(cfg, params, img)
+    ph = IMG // PATCH
+    # base + 2x2 grid tiles, flat concat
+    assert emb.shape == (5 * ph * ph, PROJ)

@@ -1,0 +1,181 @@
+"""Live HTTP server integration tests (reference examples/server/tests
+*.feature style): boot server.py on a real port, drive completions,
+concurrency, streaming, embeddings, metrics, cancellation."""
+
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+pytest.importorskip("transformers")
+import torch
+from transformers import LlamaConfig as HFLlamaConfig
+from transformers import LlamaForCausalLM
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.tools.convert_hf import convert_hf_llama
+
+from tests.test_engine import make_vocab_md, VOCAB
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    torch.manual_seed(5)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+
+    from tpulamm.server.server import serve
+    started = threading.Event()
+    t = threading.Thread(target=serve,
+                         args=(path,),
+                         kwargs=dict(host="127.0.0.1", port=0, n_slots=2,
+                                     n_ctx=128, started=started),
+                         daemon=True)
+    t.start()
+    assert started.wait(timeout=300), "server failed to start"
+    httpd = started.httpd
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    started.sched.running = False
+    httpd.shutdown()
+
+
+def _post(base, path, body, timeout=120):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.read()
+
+
+def _get(base, path, timeout=30):
+    with urllib.request.urlopen(base + path, timeout=timeout) as r:
+        return r.status, r.read()
+
+
+def test_health_props_models(server):
+    st, body = _get(server, "/health")
+    assert st == 200 and json.loads(body)["status"] == "ok"
+    st, body = _get(server, "/props")
+    assert json.loads(body)["total_slots"] == 2
+    st, body = _get(server, "/v1/models")
+    assert json.loads(body)["data"][0]["object"] == "model"
+
+
+def test_completion_and_usage(server):
+    st, body = _post(server, "/completion",
+                     {"prompt": "the cat", "n_predict": 8,
+                      "temperature": 0.0})
+    obj = json.loads(body)
+    assert st == 200 and obj["stop"] is True
+    assert obj["tokens_predicted"] > 0
+
+
+def test_openai_chat_completion(server):
+    st, body = _post(server, "/v1/chat/completions",
+                     {"messages": [{"role": "user", "content": "hi"}],
+                      "max_tokens": 6, "temperature": 0.0})
+    obj = json.loads(body)
+    assert obj["object"] == "chat.completion"
+    assert obj["choices"][0]["message"]["role"] == "assistant"
+    assert obj["usage"]["completion_tokens"] > 0
+
+
+def test_streaming_sse(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "the cat", "max_tokens": 6,
+                         "stream": True, "temperature": 0.0}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        payload = r.read().decode()
+    events = [ln[6:] for ln in payload.splitlines()
+              if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    assert len(events) >= 2                     # >=1 chunk + DONE
+
+
+def test_concurrent_requests_share_slots(server):
+    def one(i):
+        return _post(server, "/completion",
+                     {"prompt": f"the cat {i}", "n_predict": 6,
+                      "temperature": 0.0})[0]
+
+    with ThreadPoolExecutor(4) as ex:
+        codes = list(ex.map(one, range(4)))
+    assert codes == [200] * 4
+    # all slots drained afterwards
+    st, body = _get(server, "/health")
+    assert json.loads(body)["slots_idle"] == 2
+
+
+def test_embeddings_endpoint(server):
+    st, body = _post(server, "/v1/embeddings",
+                     {"input": ["the cat", "the mat"]})
+    obj = json.loads(body)
+    assert len(obj["data"]) == 2
+    assert len(obj["data"][0]["embedding"]) == 256
+
+
+def test_tokenize_roundtrip(server):
+    st, body = _post(server, "/tokenize", {"content": "the cat"})
+    toks = json.loads(body)["tokens"]
+    st, body = _post(server, "/detokenize", {"tokens": toks})
+    assert "the cat" in json.loads(body)["content"]
+
+
+def test_metrics_scrape_and_fast_path_counter(server):
+    _post(server, "/completion",
+          {"prompt": "the cat", "n_predict": 4, "temperature": 0.0,
+           "repeat_penalty": 1.0})
+    st, body = _get(server, "/metrics")
+    text = body.decode()
+    assert "llamacpp:prompt_tokens_total" in text
+    assert "llamacpp:decode_fast_blocks_total" in text
+    assert "llamacpp:decode_slow_steps_total" in text
+    counts = {ln.split()[0]: float(ln.split()[1])
+              for ln in text.splitlines() if ln and not ln.startswith("#")}
+    assert counts["llamacpp:tokens_predicted_total"] > 0
+
+
+def test_cancel_endpoint(server):
+    rid = "cancel-me-1"
+
+    def run():
+        try:
+            return _post(server, "/completion",
+                         {"prompt": "the cat", "n_predict": 100_000,
+                          "temperature": 0.0, "rid": rid}, timeout=300)
+        except Exception as e:                  # pragma: no cover
+            return None, str(e)
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(run)
+        import time
+        ok = False
+        for _ in range(600):
+            try:
+                st, body = _post(server, "/cancel", {"rid": rid})
+            except urllib.error.HTTPError:
+                time.sleep(0.1)          # not yet registered -> 404
+                continue
+            if json.loads(body).get("cancelled"):
+                ok = True
+                break
+            time.sleep(0.1)
+        assert ok, "request never became cancellable"
+        st, body = fut.result(timeout=120)
+    assert st == 200                            # partial response returned
+    # slot must be free again
+    st, body = _get(server, "/health")
+    assert json.loads(body)["slots_idle"] == 2

@@ -90,7 +90,7 @@ def main(argv=None):
                    help="generation lengths (default 128)")
     p.add_argument("-r", "--repetitions", type=int, default=3)
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
-    p.add_argument("-o", "--output", choices=["md", "csv", "json"],
+    p.add_argument("-o", "--output", choices=["md", "csv", "json", "sql"],
                    default="md")
     p.add_argument("--host-loop", action="store_true",
                    help="time the per-token host decode loop instead of the "
@@ -100,6 +100,10 @@ def main(argv=None):
     p.add_argument("-pl", "--n-parallel", type=int, action="append",
                    default=[], help="parallel sequences (batched mode)")
     p.add_argument("--compute-dtype", default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel shards over the device mesh")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel (slot-sharding) mesh dimension")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture an XLA device trace into DIR "
                         "(TensorBoard/Perfetto; the GGML_PERF analogue)")
@@ -118,11 +122,28 @@ def main(argv=None):
 
     if args.batched:
         engine = Engine(args.model, n_ctx=args.ctx_size,
-                        n_slots=max(pls), compute_dtype=args.compute_dtype)
+                        n_slots=max(pls), compute_dtype=args.compute_dtype,
+                        tp=args.tp, dp=args.dp)
         rows = [_batched_bench(engine, pp, tg, pl)
                 for pp in pps for tg in tgs for pl in pls]
         if args.output == "json":
             print(jsonlib.dumps(rows))
+        elif args.output == "csv":
+            print("pp,tg,pl,pp_ts,tg_ts,total_ts")
+            for r in rows:
+                print(f"{r['pp']},{r['tg']},{r['pl']},{r['pp_ts']:.2f},"
+                      f"{r['tg_ts']:.2f},{r['total_ts']:.2f}")
+        elif args.output == "sql":
+            # llama-bench.cpp sql printer parity: CREATE TABLE + INSERTs
+            print("CREATE TABLE IF NOT EXISTS batched_bench "
+                  "(pp INTEGER, tg INTEGER, pl INTEGER, pp_ts REAL, "
+                  "tg_ts REAL, total_ts REAL);")
+            for r in rows:
+                print("INSERT INTO batched_bench "
+                      "(pp, tg, pl, pp_ts, tg_ts, total_ts) VALUES "
+                      f"({r['pp']}, {r['tg']}, {r['pl']}, "
+                      f"{r['pp_ts']:.2f}, {r['tg_ts']:.2f}, "
+                      f"{r['total_ts']:.2f});")
         else:
             print(f"| {'PP':>6} | {'TG':>6} | {'PL':>4} | {'PP t/s':>10} "
                   f"| {'TG t/s':>10} | {'T t/s':>10} |")
@@ -138,7 +159,8 @@ def main(argv=None):
         return 0
 
     engine = Engine(args.model, n_ctx=args.ctx_size,
-                    compute_dtype=args.compute_dtype)
+                    compute_dtype=args.compute_dtype,
+                    tp=args.tp, dp=args.dp)
     rows = []
     for n_pp in pps:
         if n_pp > args.ctx_size:
@@ -166,6 +188,14 @@ def main(argv=None):
         for row in rows:
             print(f"{model_name},{row['test']},{row['t/s']:.2f},"
                   f"{row['stddev']:.2f}")
+    elif args.output == "sql":
+        # llama-bench.cpp sql printer parity (llama-bench.cpp:1274)
+        print("CREATE TABLE IF NOT EXISTS test "
+              "(model TEXT, test TEXT, avg_ts REAL, stddev_ts REAL);")
+        for row in rows:
+            print("INSERT INTO test (model, test, avg_ts, stddev_ts) "
+                  f"VALUES ('{model_name}', '{row['test']}', "
+                  f"{row['t/s']:.2f}, {row['stddev']:.2f});")
     else:
         print(f"| {'model':<28} | {'test':>8} | {'t/s':>14} |")
         print(f"| {'-' * 28} | {'-' * 8} | {'-' * 14} |")

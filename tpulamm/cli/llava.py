@@ -34,7 +34,8 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    from tpulamm.models.clip import (encode_image, load_clip, load_image,
+    from tpulamm.models.clip import (encode_image, encode_image_anyres,
+                                     load_clip, load_image,
                                      preprocess_image)
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.sampling import Sampler, SamplingParams
@@ -58,9 +59,13 @@ def main(argv=None):
     ccfg, cparams = load_clip(args.mmproj)
     embeds = []
     for path in args.image:
-        img = preprocess_image(load_image(path), ccfg)
-        emb = np.asarray(encode_image(ccfg, cparams,
-                                      img[None].astype(np.float32)))[0]
+        if ccfg.image_grid_pinpoints:
+            # llava-1.6 anyres grid (clip.cpp pinpoints path)
+            emb = encode_image_anyres(ccfg, cparams, load_image(path))
+        else:
+            img = preprocess_image(load_image(path), ccfg)
+            emb = np.asarray(encode_image(ccfg, cparams,
+                                          img[None].astype(np.float32)))[0]
         embeds.append(emb)
     if args.verbose:
         print(f"encoded {n_imgs} image(s) -> "

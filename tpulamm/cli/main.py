@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--grp-attn-n", type=int, default=1)
     p.add_argument("--grp-attn-w", type=int, default=512)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel shards over the device mesh")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel (slot-sharding) mesh dimension")
     p.add_argument("--override-kv", action="append", default=[],
                    metavar="KEY=TYPE:VALUE",
                    help="override a GGUF metadata value "
@@ -73,6 +77,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for reference-CLI compatibility (weights live in HBM)")
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("--keep", type=int, default=0,
+                   help="tokens to keep from the initial prompt on context "
+                        "shift (-1 = all prompt tokens)")
+    p.add_argument("-e", "--escape", action="store_true",
+                   help="process \\n, \\t, \\', \\\", \\\\ escapes in the "
+                        "prompt")
+    p.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                   help="stop generation when this string is emitted "
+                        "(repeatable)")
+    p.add_argument("--verbose-prompt", action="store_true",
+                   help="print the tokenized prompt before generation")
+    p.add_argument("--in-prefix", default="",
+                   help="string prepended to interactive user input")
+    p.add_argument("--in-suffix", default="",
+                   help="string appended to interactive user input")
     return p
 
 
@@ -88,6 +107,9 @@ def main(argv=None):
     if args.file:
         with open(args.file) as f:
             prompt = f.read()
+    if args.escape:
+        # process_escapes (common.cpp) semantics
+        prompt = prompt.encode().decode("unicode_escape")
 
     import jax.numpy as jnp
 
@@ -98,7 +120,8 @@ def main(argv=None):
                     compute_dtype=args.compute_dtype,
                     kv_dtype=jnp.dtype(args.cache_type_k),
                     grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w,
-                    lora_path=args.lora, kv_overrides=overrides)
+                    lora_path=args.lora, kv_overrides=overrides,
+                    tp=args.tp, dp=args.dp)
 
     sampling = SamplingParams(
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
@@ -123,6 +146,32 @@ def main(argv=None):
             sys.stdout.flush()
         gen_input: str | list[int] = text
         all_tokens: list[int] = []
+        if engine.tokenizer is not None:
+            ptoks = engine.tokenizer.encode(text, special=True)
+            if args.verbose_prompt:
+                for t in ptoks:
+                    print(f"{t:6d} -> "
+                          f"{engine.tokenizer.token_to_piece(t)!r}",
+                          file=sys.stderr)
+            # --keep: -1 = whole prompt (main.cpp:224-227)
+            engine.n_keep = (len(ptoks) if args.keep < 0
+                             else args.keep if args.keep > 0
+                             else engine.n_keep)
+        # reverse prompts (antiprompt, main.cpp:745-767): watch the
+        # streamed tail and abort generation when one appears
+        state = {"tail": "", "hit": False}
+
+        def on_piece(piece):
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            if args.reverse_prompt:
+                state["tail"] = (state["tail"] + piece)[-256:]
+                if any(rp in state["tail"] for rp in args.reverse_prompt):
+                    state["hit"] = True
+
+        prev_abort = engine.abort_callback
+        if args.reverse_prompt:
+            engine.set_abort_callback(lambda: state["hit"])
         if args.prompt_cache and engine.tokenizer is not None:
             import os
             from tpulamm.runtime.session import load_session, save_session
@@ -157,8 +206,8 @@ def main(argv=None):
             grammar=grammar,
             cfg_negative_prompt=args.cfg_negative_prompt,
             cfg_scale=args.cfg_scale,
-            stream=lambda piece: (sys.stdout.write(piece),
-                                  sys.stdout.flush()))
+            stream=on_piece)
+        engine.abort_callback = prev_abort
         if args.prompt_cache and not args.prompt_cache_ro \
                 and engine.tokenizer is not None:
             from tpulamm.runtime.session import save_session
@@ -176,7 +225,7 @@ def main(argv=None):
                 break
             if not line:
                 break
-            run_once(line)
+            run_once(args.in_prefix + line + args.in_suffix)
             engine.reset_slot(0)
     else:
         run_once(prompt)

@@ -42,6 +42,10 @@ class ClipVisionConfig:
     proj_type: str = "mlp"           # mlp | mlp_norm
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    # llava-1.6 (anyres): flattened [w0,h0,w1,h1,...] candidate canvas
+    # sizes; empty = llava-1.5 single-image path
+    image_grid_pinpoints: tuple = ()
+    mm_patch_merge_type: str = "flat"   # flat | spatial_unpad
 
     @property
     def n_patches(self) -> int:
@@ -82,6 +86,10 @@ def load_clip(path: str, compute_dtype=jnp.bfloat16):
                                 ClipVisionConfig.image_mean)),
         image_std=tuple(md.get("clip.vision.image_std",
                                ClipVisionConfig.image_std)),
+        image_grid_pinpoints=tuple(
+            md.get("clip.vision.image_grid_pinpoints", ()) or ()),
+        mm_patch_merge_type=str(
+            md.get("clip.vision.mm_patch_merge_type", "flat")),
     )
 
     def t(name, dtype=compute_dtype):
@@ -127,6 +135,9 @@ def load_clip(path: str, compute_dtype=jnp.bfloat16):
         w, b = opt(f"mm.{i}.weight"), opt(f"mm.{i}.bias")
         if w is not None:
             params["mm"][i] = (w, b)
+    # llava-1.6 row separator embedding (model.image_newline in HF,
+    # written by the reference's surgery script)
+    params["image_newline"] = opt("model.image_newline", jnp.float32)
     rd.close()
     return cfg, params
 
@@ -274,3 +285,121 @@ def load_image(path: str) -> np.ndarray:
             return np.frombuffer(f.read(w * h * 3),
                                  np.uint8).reshape(h, w, 3)
     raise RuntimeError(f"cannot load {path}: PIL unavailable; use .npy/.ppm")
+
+
+# ---------------------------------------------------------------------------
+# llava-1.6 "anyres" image grids (clip.cpp:1202 select_best_resolution,
+# llava.cpp:140-250 clip_llava_handle_patches)
+# ---------------------------------------------------------------------------
+
+def _normalize(img_f32: np.ndarray, cfg: ClipVisionConfig) -> np.ndarray:
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    return ((img_f32 / 255.0) - mean) / std
+
+
+def select_best_resolution(orig_hw: tuple[int, int],
+                           pinpoints) -> tuple[int, int]:
+    """Pick the candidate canvas maximizing effective resolution with
+    minimal waste (clip.cpp:select_best_resolution:1202). pinpoints is the
+    GGUF flat list [w0, h0, w1, h1, ...]; returns (h, w)."""
+    oh, ow = orig_hw
+    best, best_eff, min_waste = None, -1, None
+    pts = list(pinpoints)
+    for i in range(0, len(pts) - 1, 2):
+        w, h = int(pts[i]), int(pts[i + 1])
+        scale = min(w / ow, h / oh)
+        dw, dh = int(ow * scale), int(oh * scale)
+        eff = min(dw * dh, ow * oh)
+        waste = w * h - eff
+        if eff > best_eff or (eff == best_eff and waste < min_waste):
+            best, best_eff, min_waste = (h, w), eff, waste
+    assert best is not None, "empty image_grid_pinpoints"
+    return best
+
+
+def _resize_and_pad(img: np.ndarray, target_hw: tuple[int, int],
+                    cfg: ClipVisionConfig) -> np.ndarray:
+    """Aspect-preserving resize onto a mean-color (th, tw) canvas,
+    centered (clip.cpp:resize_and_pad_image)."""
+    th, tw = target_hw
+    h, w = img.shape[:2]
+    scale = min(tw / w, th / h)
+    nh, nw = min(th, int(round(h * scale))), min(tw, int(round(w * scale)))
+    resized = _bilinear_resize(img.astype(np.float32), nh, nw)
+    bg = np.asarray([m * 255.0 for m in cfg.image_mean], np.float32)
+    canvas = np.broadcast_to(bg, (th, tw, 3)).copy()
+    y0, x0 = (th - nh) // 2, (tw - nw) // 2
+    canvas[y0:y0 + nh, x0:x0 + nw] = resized
+    return canvas
+
+
+def preprocess_anyres(img: np.ndarray, cfg: ClipVisionConfig):
+    """uint8 (H, W, 3) -> (tiles (1+gy*gx, S, S, 3) normalized f32,
+    (gy, gx), orig (h, w)).
+
+    tiles[0] is the squash-resized base image (llava-1.6 base features);
+    tiles[1:] are the S x S cuts of the best-resolution padded canvas, in
+    row-major order.
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    S = cfg.image_size
+    oh, ow = img.shape[:2]
+    th, tw = select_best_resolution((oh, ow), cfg.image_grid_pinpoints)
+    canvas = _resize_and_pad(img, (th, tw), cfg)
+    gy, gx = th // S, tw // S
+    tiles = [_bilinear_resize(img.astype(np.float32), S, S)]  # base (squash)
+    for y in range(gy):
+        for x in range(gx):
+            tiles.append(canvas[y * S:(y + 1) * S, x * S:(x + 1) * S])
+    return (_normalize(np.stack(tiles), cfg), (gy, gx), (oh, ow))
+
+
+def _unpad_spatial(feat: np.ndarray, orig_hw: tuple[int, int]) -> np.ndarray:
+    """Crop the dimension that was padded during resize_and_pad
+    (llava.cpp:unpad_image). feat: (H, W, d) spatial feature map."""
+    H, W, _ = feat.shape
+    oh, ow = orig_hw
+    if ow / oh > W / H:          # image wider than canvas aspect: rows padded
+        nh = max(1, int(round(oh * (W / ow))))
+        pad = (H - nh) // 2
+        return feat[pad:H - pad]
+    nw = max(1, int(round(ow * (H / oh))))
+    pad = (W - nw) // 2
+    return feat[:, pad:W - pad]
+
+
+def encode_image_anyres(cfg: ClipVisionConfig, params,
+                        img: np.ndarray) -> np.ndarray:
+    """llava-1.6 pipeline: grid-tile the image, encode every tile in one
+    batch, merge per mm_patch_merge_type:
+
+    - spatial_unpad: tile features rearranged to a (gy*ph, gx*pw) spatial
+      map, unpadded back to the image aspect, an image_newline embedding
+      appended per row, base features prepended
+      (llava.cpp:clip_llava_handle_patches).
+    - flat: base + tiles concatenated.
+
+    Returns (n_embeds, proj_dim) f32.
+    """
+    tiles, (gy, gx), orig_hw = preprocess_anyres(img, cfg)
+    emb = np.asarray(encode_image(cfg, params,
+                                  jnp.asarray(tiles, jnp.float32)))
+    base, patches = emb[0], emb[1:]
+    if cfg.mm_patch_merge_type != "spatial_unpad" or patches.size == 0:
+        return np.concatenate([base] + list(patches))
+    ph = pw = cfg.image_size // cfg.patch_size
+    d = emb.shape[-1]
+    spat = patches.reshape(gy, gx, ph, pw, d) \
+                  .transpose(0, 2, 1, 3, 4).reshape(gy * ph, gx * pw, d)
+    spat = _unpad_spatial(spat, orig_hw)
+    nl = params.get("image_newline")
+    if nl is not None:
+        col = np.broadcast_to(np.asarray(nl, np.float32),
+                              (spat.shape[0], 1, d))
+        spat = np.concatenate([spat, col], axis=1)
+    return np.concatenate([base, spat.reshape(-1, d)])

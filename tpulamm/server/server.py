@@ -39,6 +39,9 @@ class Request:
     grammar: str | None = None   # GBNF constraint (server "grammar" param)
     out: "queue.Queue" = field(default_factory=queue.Queue)
     rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
+    # set to cancel mid-generation (client disconnect or POST /cancel);
+    # the scheduler frees the slot at the next decode boundary
+    cancel: threading.Event = field(default_factory=threading.Event)
 
 
 @dataclass
@@ -59,6 +62,10 @@ class Metrics:
         self.requests = 0
         self.busy_slots = 0
         self.queue_depth = 0
+        # which decode path served tokens: fast = on-device multi-token scan
+        # blocks; slow = per-token host-sampled steps (penalties/grammar)
+        self.fast_blocks = 0
+        self.slow_steps = 0
 
     def render(self) -> str:
         # prometheus text format (server.cpp /metrics parity)
@@ -72,7 +79,11 @@ class Metrics:
             "# TYPE llamacpp:slots_busy gauge\n"
             f"llamacpp:slots_busy {self.busy_slots}\n"
             "# TYPE llamacpp:queue_depth gauge\n"
-            f"llamacpp:queue_depth {self.queue_depth}\n")
+            f"llamacpp:queue_depth {self.queue_depth}\n"
+            "# TYPE llamacpp:decode_fast_blocks_total counter\n"
+            f"llamacpp:decode_fast_blocks_total {self.fast_blocks}\n"
+            "# TYPE llamacpp:decode_slow_steps_total counter\n"
+            f"llamacpp:decode_slow_steps_total {self.slow_steps}\n")
 
 
 class Scheduler(threading.Thread):
@@ -86,12 +97,41 @@ class Scheduler(threading.Thread):
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.metrics = Metrics()
         self.running = True
+        self._block_counter = 0   # distinct RNG stream per fast block
+        self.requests: dict[str, Request] = {}   # rid -> live request
 
     def submit(self, req: Request):
         with self.metrics.lock:
             self.metrics.requests += 1
             self.metrics.queue_depth += 1
+        self.requests[req.rid] = req
         self.pending.put(req)
+
+    def cancel(self, rid: str) -> bool:
+        req = self.requests.get(rid)
+        if req is None:
+            return False
+        req.cancel.set()
+        return True
+
+    def _finish_slot(self, i: int, reason: str):
+        slot = self.slots[i]
+        slot.req.out.put((
+            "done", reason,
+            {"prompt_tokens": slot.prompt_len,
+             "completion_tokens": slot.n_gen,
+             "t_total": time.perf_counter() - slot.t_start}))
+        self.requests.pop(slot.req.rid, None)
+        slot.req = None
+        slot.sampler = None
+        slot.next_tok = None
+
+    def _sweep_cancelled(self):
+        """Free slots whose request was cancelled (disconnect or /cancel);
+        the slot's KV is reset on reuse, so no rollback is needed."""
+        for i, slot in enumerate(self.slots):
+            if slot.req is not None and slot.req.cancel.is_set():
+                self._finish_slot(i, "cancelled")
 
     def _assign(self):
         for i, slot in enumerate(self.slots):
@@ -103,11 +143,18 @@ class Scheduler(threading.Thread):
                 return
             with self.metrics.lock:
                 self.metrics.queue_depth -= 1
+            if req.cancel.is_set():        # cancelled while queued
+                self.requests.pop(req.rid, None)
+                req.out.put(("done", "cancelled",
+                             {"prompt_tokens": 0, "completion_tokens": 0,
+                              "t_total": 0.0}))
+                continue
             eng = self.engine
             if req.embed:
                 # embeddings run to completion on the slot, then free it
                 vec = eng.embed(req.prompt, slot=i)
                 eng.reset_slot(i)
+                self.requests.pop(req.rid, None)
                 req.out.put(("embedding", vec.tolist(), None))
                 continue
             if isinstance(req.prompt, str):
@@ -151,14 +198,7 @@ class Scheduler(threading.Thread):
             with self.metrics.lock:
                 self.metrics.generated_tokens += 1
         if stop or slot.n_gen >= slot.req.n_predict:
-            slot.req.out.put(("done",
-                              "stop" if stop else "length",
-                              {"prompt_tokens": slot.prompt_len,
-                               "completion_tokens": slot.n_gen,
-                               "t_total": time.perf_counter() - slot.t_start}))
-            slot.req = None
-            slot.sampler = None
-            slot.next_tok = None
+            self._finish_slot(i, "stop" if stop else "length")
         else:
             slot.next_tok = tok
 
@@ -184,8 +224,17 @@ class Scheduler(threading.Thread):
                         for i in active)
         n = max(1, min(8, remaining))
         temps = {i: self.slots[i].req.params.temp for i in active}
+        # distinct randomness per block AND per request mix: the scan derives
+        # its stream from this seed (a fixed seed would repeat the identical
+        # stream every block, shared across all concurrent requests)
+        self._block_counter += 1
+        seed = self._block_counter * 1000003
+        for i in sorted(active):
+            seed ^= (self.slots[i].req.params.seed + 0x9E3779B9 * (i + 1)) \
+                & 0x7FFFFFFF
         try:
-            blocks = eng.decode_batch_fast(active, n, temp=temps)
+            blocks = eng.decode_batch_fast(active, n, temp=temps,
+                                           seed=seed & 0x7FFFFFFF)
         except ValueError:
             return False
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
@@ -211,20 +260,14 @@ class Scheduler(threading.Thread):
                 # slot KV is reset on reuse; no rollback needed
                 stop = (toks[done_at] == eos
                         and not slot.req.params.ignore_eos)
-                slot.req.out.put((
-                    "done", "stop" if stop else "length",
-                    {"prompt_tokens": slot.prompt_len,
-                     "completion_tokens": slot.n_gen,
-                     "t_total": time.perf_counter() - slot.t_start}))
-                slot.req = None
-                slot.sampler = None
-                slot.next_tok = None
+                self._finish_slot(i, "stop" if stop else "length")
             else:
                 slot.next_tok = toks[-1]
         return True
 
     def run(self):
         while self.running:
+            self._sweep_cancelled()
             self._assign()
             active = {i: s.next_tok for i, s in enumerate(self.slots)
                       if s.req is not None and s.next_tok is not None}
@@ -236,11 +279,18 @@ class Scheduler(threading.Thread):
                 continue
             # multi-token on-device blocks when no request is waiting to
             # join and every active request uses scan-reproducible sampling
+            # (the GBNF constraint lives on the sampler, not SamplingParams —
+            # a grammar-constrained request must take the host loop)
             if (self.pending.empty()
-                    and all(self._fast_eligible(self.slots[i].req.params)
+                    and all(self.slots[i].sampler.grammar is None
+                            and self._fast_eligible(self.slots[i].req.params)
                             for i in active)
                     and self._run_fast_block(active)):
+                with self.metrics.lock:
+                    self.metrics.fast_blocks += 1
                 continue
+            with self.metrics.lock:
+                self.metrics.slow_steps += 1
             logits = self.engine.decode_batch(active)
             for i, lg in logits.items():
                 self._sample_and_emit(i, lg)
@@ -315,6 +365,8 @@ def make_handler(sched: Scheduler, model_name: str):
             req = Request(prompt=prompt, params=self._params_from(body),
                           n_predict=n_predict, stream=stream,
                           grammar=body.get("grammar"))
+            if body.get("rid"):
+                req.rid = str(body["rid"])   # client-chosen id -> /cancel
             sched.submit(req)
 
             if stream:
@@ -332,15 +384,22 @@ def make_handler(sched: Scheduler, model_name: str):
                 text = ""
                 while True:
                     item = req.out.get()
-                    if item[0] == "tok":
-                        text += item[2]
-                        send_chunk(self._stream_obj(kind, item[2], None))
-                    else:
-                        send_chunk(self._stream_obj(kind, "", item[1]))
-                        data = b"data: [DONE]\n\n"
-                        self.wfile.write(
-                            f"{len(data):x}\r\n".encode() + data + b"\r\n")
-                        self.wfile.write(b"0\r\n\r\n")
+                    try:
+                        if item[0] == "tok":
+                            text += item[2]
+                            send_chunk(self._stream_obj(kind, item[2], None))
+                        else:
+                            send_chunk(self._stream_obj(kind, "", item[1]))
+                            data = b"data: [DONE]\n\n"
+                            self.wfile.write(
+                                f"{len(data):x}\r\n".encode() + data
+                                + b"\r\n")
+                            self.wfile.write(b"0\r\n\r\n")
+                            break
+                    except OSError:
+                        # client went away: stop generating for this slot
+                        # (server.cpp cancels the task on disconnect)
+                        req.cancel.set()
                         break
                 return
 
@@ -423,6 +482,9 @@ def make_handler(sched: Scheduler, model_name: str):
                         "data": [{"object": "embedding", "index": i,
                                   "embedding": v}
                                  for i, v in enumerate(vecs)]})
+            elif self.path == "/cancel":
+                ok = sched.cancel(str(body.get("rid", "")))
+                self._json(200 if ok else 404, {"cancelled": ok})
             elif self.path == "/tokenize":
                 toks = sched.engine.tokenizer.encode(
                     body.get("content", ""), special=True)
@@ -438,10 +500,10 @@ def make_handler(sched: Scheduler, model_name: str):
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           n_slots: int = 4, n_ctx: int = 2048, compute_dtype=None,
-          started: threading.Event | None = None):
+          started: threading.Event | None = None, tp: int = 1, dp: int = 1):
     from tpulamm.runtime.engine import Engine
     engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, tp=tp, dp=dp)
     sched = Scheduler(engine, n_slots)
     sched.engine = engine
     sched.start()
@@ -465,9 +527,14 @@ def main(argv=None):
                    help="number of slots (continuous batching width)")
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     p.add_argument("--compute-dtype", default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel shards over the device mesh")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel (slot-sharding) mesh dimension")
     args = p.parse_args(argv)
     serve(args.model, args.host, args.port, n_slots=args.parallel,
-          n_ctx=args.ctx_size, compute_dtype=args.compute_dtype)
+          n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
+          tp=args.tp, dp=args.dp)
 
 
 if __name__ == "__main__":
