@@ -7,19 +7,25 @@ multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4.4).
 
 import os
 
-# XLA_FLAGS must be in the env before the CPU client is created (lazy).
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TPULAMM_TEST_TPU=1 keeps the real backend (for the on-hardware exactness
+# suite, tests/test_tpu_exactness.py); default is the CPU virtual mesh.
+_ON_TPU = os.environ.get("TPULAMM_TEST_TPU") == "1"
+
+if not _ON_TPU:
+    # XLA_FLAGS must be in the env before the CPU client is created (lazy).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 # jax may already be imported (site customization registers TPU plugins and
 # pins JAX_PLATFORMS in the env), so force the platform via the live config —
 # backends initialize lazily, so this wins as long as no device was touched.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

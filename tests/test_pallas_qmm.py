@@ -82,3 +82,21 @@ def test_pad_n_zero_columns(rng):
                                     interpret=True))
         np.testing.assert_array_equal(got[:, n:], 0.0)
         np.testing.assert_allclose(got[:, :n], ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("kc", [2, 4])
+@pytest.mark.parametrize("cdt", [jnp.float32, jnp.bfloat16])
+def test_pallas_kc_tail_masking(rng, kc, cdt):
+    """K chunk count not divisible by kc (e.g. the flagship K=11008 has a
+    PRIME 43-chunk count): the cdiv grid's tail block must be masked."""
+    n, k = 256, 256 * 5                     # 5 chunks: tail for kc=2 and 4
+    w = (rng.normal(size=(n, k)) * 0.7).astype(np.float32)
+    raw = formats.quantize(w, GGMLType.Q4_0)
+    qt = QTensor.from_gguf_raw(raw, GGMLType.Q4_0, (n, k), layout="mm")
+    x = rng.normal(size=(24, k)).astype(np.float32)
+    expect = np.asarray(x @ np.asarray(dequant_mm(qt, jnp.float32)))
+    got = np.asarray(qmm_pallas(jnp.asarray(x), qt, compute_dtype=cdt,
+                                kc=kc, interpret=True))
+    nmse = ((got - expect) ** 2).mean() / (expect ** 2).mean()
+    assert np.isfinite(got).all()
+    assert nmse < (1e-9 if cdt == jnp.float32 else 1e-4), nmse

@@ -1,0 +1,77 @@
+"""On-hardware exactness: the Mosaic fast-unpack path vs the golden model.
+
+Interpret-mode tests (test_pallas_qmm.py) validate the kernel logic, but
+interpret-mode bitcasts need not match Mosaic's real sublane packing — this
+suite runs the actual compiled kernels on the TPU and checks every format's
+fast (bf16/i8) and f32 unpack paths against dequantize-then-dot.
+
+Run:  TPULAMM_TEST_TPU=1 python -m pytest tests/test_tpu_exactness.py -q
+(skipped automatically on the CPU test mesh).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.ops.pallas_qmm import qmm_pallas
+from tpulamm.ops.qtensor import QTensor, dequant_mm
+from tpulamm.quant import formats
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="on-hardware suite (TPULAMM_TEST_TPU=1)")
+
+QTYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+          GGMLType.Q8_0, GGMLType.Q2_K]
+
+
+@pytest.mark.parametrize("qtype", QTYPES, ids=lambda q: q.name)
+@pytest.mark.parametrize("m", [4, 128], ids=["gemv", "mm"])
+def test_fast_unpack_exact_on_tpu(qtype, m):
+    rng = np.random.default_rng(int(qtype))
+    n, k = 256, 1280                   # 5 chunks: also covers the kc tail
+    w = (rng.normal(size=(n, k)) * 0.7).astype(np.float32)
+    raw = formats.quantize(w, qtype)
+    qt = QTensor.from_gguf_raw(raw, qtype, (n, k), layout="mm")
+    x = rng.normal(size=(m, k)).astype(np.float32)
+
+    expect = np.asarray(x @ np.asarray(dequant_mm(qt, jnp.float32)))
+
+    # a mispacked sublane bitcast would produce garbage (NMSE ~ 1); the
+    # bounds below only allow MXU rounding (TPU f32 matmul runs bf16
+    # passes at DEFAULT precision, so even the f32 path is ~1e-5)
+    got32 = np.asarray(qmm_pallas(jnp.asarray(x), qt,
+                                  compute_dtype=jnp.float32))
+    nmse32 = ((got32 - expect) ** 2).mean() / (expect ** 2).mean()
+    assert nmse32 < 3e-5, f"f32 path NMSE {nmse32}"
+
+    # fast path (packed-i32 byte tricks + u16 fp16-scale decode)
+    got16 = np.asarray(qmm_pallas(jnp.asarray(x), qt,
+                                  compute_dtype=jnp.bfloat16))
+    nmse16 = ((got16 - expect) ** 2).mean() / (expect ** 2).mean()
+    assert nmse16 < 1e-3, f"bf16 path NMSE {nmse16}"
+
+
+def test_flash_attention_exact_on_tpu():
+    from tpulamm.ops.flash_attention import (flash_attention,
+                                             flash_attention_ref)
+    rng = np.random.default_rng(0)
+    B, Hkv, T, G, S, hd = 2, 2, 4, 4, 257, 64
+    q = jnp.asarray(rng.normal(size=(B, Hkv, T * G, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, hd)), jnp.float32)
+    kpos = np.full((B, S), -1, np.int32)
+    kpos[0, :40] = np.arange(40)
+    kpos[1, :24] = np.arange(24)
+    kpos[1, 5:9] = -1                      # surgery hole
+    qbase = jnp.asarray([40, 24], jnp.int32)
+    qlen = jnp.asarray([T, T], jnp.int32)
+    args = dict(scale=0.125, g=G)
+    ref = flash_attention_ref(q, k, v, jnp.asarray(kpos), qbase, qlen,
+                              **args)
+    got = flash_attention(q, k, v, jnp.asarray(kpos), qbase, qlen, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

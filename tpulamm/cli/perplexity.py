@@ -23,10 +23,13 @@ def log_softmax(logits: np.ndarray) -> np.ndarray:
 
 
 def compute_perplexity(engine, text: str, n_ctx: int = 512,
-                       progress=True) -> dict:
+                       progress=True, tokens: list | None = None) -> dict:
+    """tokens: pre-tokenized corpus (skips the tokenizer — used when the
+    training-side token mapping differs from SPM text normalization)."""
     tok = engine.tokenizer
-    tokens = tok.encode(text, add_bos=False)
-    bos = tok.vocab.bos_id
+    if tokens is None:
+        tokens = tok.encode(text, add_bos=False)
+    bos = tok.vocab.bos_id if tok is not None else 1
 
     n_chunk = len(tokens) // n_ctx
     if n_chunk < 1:
@@ -144,12 +147,13 @@ def run_multiple_choice(engine, path: str, limit: int = 0) -> dict:
 
 
 def save_logits(engine, text: str, out_path: str, n_ctx: int = 512,
-                max_chunks: int = 0) -> None:
+                max_chunks: int = 0, tokens: list | None = None) -> None:
     """Dump per-position log-probs for later KL comparison
     (--kl-divergence-base, perplexity.cpp:1461)."""
     tok = engine.tokenizer
-    tokens = tok.encode(text, add_bos=False)
-    bos = tok.vocab.bos_id
+    if tokens is None:
+        tokens = tok.encode(text, add_bos=False)
+    bos = tok.vocab.bos_id if tok is not None else 1
     n_chunk = len(tokens) // n_ctx
     if max_chunks:
         n_chunk = min(n_chunk, max_chunks)

@@ -62,7 +62,10 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
                             preferred_element_type=jnp.float32)
     s = s * scale                                    # (TGt, St)
 
-    kpos = kpos_ref[:].astype(jnp.int32)             # (1, St)
+    # kpos block carries ALL batch rows (a (1, St) block would violate the
+    # TPU sublane-divisibility rule for B > 1); ref-slice this b's row
+    # (pl.ds — lax.dynamic_slice has no Mosaic lowering here)
+    kpos = kpos_ref[pl.ds(b, 1), :].astype(jnp.int32)  # (1, St)
     col = jax.lax.broadcasted_iota(jnp.int32, (tg_t, s_t), 1) + j * s_t
     live = (kpos >= 0) & (col < s_total)             # tail-block guard
     if causal:
@@ -131,7 +134,7 @@ def flash_attention(q, k, v, kpos, qbase, qlen, *, scale: float, g: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_t), lambda b, h, i, j: (b, j),
+            pl.BlockSpec((B, s_t), lambda b, h, i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tg_t, hd),

@@ -145,11 +145,16 @@ def _unpack_values_i8(qtype: GGMLType, planes: dict[str, jnp.ndarray],
     raise ValueError(qtype)
 
 
-def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int):
+def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int,
+                 k_total: int):
     spec = SPECS[qtype]
     names = PLANE_ORDER[qtype]
     tk = kc * TK
     groups = tk // spec.group
+    # K need not divide tk (cdiv grid): the tail block is masked in-kernel.
+    # This matters: flagship shapes like K=11008 have a PRIME 43-chunk
+    # count, which forced kc=1 (43 grid steps) before.
+    has_tail = k_total % tk != 0
 
     fast = compute_dtype == jnp.bfloat16
 
@@ -157,6 +162,19 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int):
         plane_refs = dict(zip(names, refs[:-1]))
         out_ref = refs[-1]
         kstep = pl.program_id(1)
+
+        def tail_mask_groups(arr):
+            """Zero scale/min GROUP rows past K (tail block of the cdiv
+            grid). Masking the (groups, tn) planes makes the dequantized
+            weights exact zeros at ~1/group the cost of masking the full
+            (tk, tn) tile — and the unpacked int values plus the decoded
+            scales are always finite, so no NaN can leak through the
+            zeros. Group rows align with K because k % group == 0."""
+            if not has_tail:
+                return arr
+            g_row = (jax.lax.broadcasted_iota(jnp.int32, (groups, tn), 0)
+                     + kstep * groups)
+            return jnp.where(g_row * spec.group < k_total, arr, 0)
 
         if fast:
             # int8-density unpack; single widening convert; fold the constant
@@ -166,23 +184,30 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int):
             q = vals.astype(compute_dtype).reshape(groups, spec.group, tn)
             # scale planes are fp16-as-u16 (f32 for Q2_K); decode to f32,
             # fold the offset in f32
-            s = _load_scales(plane_refs["scales"])
+            s = tail_mask_groups(_load_scales(plane_refs["scales"]))
             off = -spec.zero * s
             if spec.has_min:
-                off = off + _load_scales(plane_refs["mins"])
+                off = off + tail_mask_groups(_load_scales(plane_refs["mins"]))
             w = q * s.astype(compute_dtype)[:, None, :] \
                 + off.astype(compute_dtype)[:, None, :]
             w = w.reshape(tk, tn)
         else:
             vals = _unpack_values(qtype, plane_refs, kc, tn, jnp.int32)
-            scales = _load_scales(plane_refs["scales"])
+            scales = tail_mask_groups(_load_scales(plane_refs["scales"]))
             w = vals.astype(jnp.float32).reshape(groups, spec.group, tn)
             w = (w - spec.zero) * scales[:, None, :]
             if spec.has_min:
-                w = w + _load_scales(plane_refs["mins"])[:, None, :]
+                w = w + tail_mask_groups(
+                    _load_scales(plane_refs["mins"]))[:, None, :]
             w = w.reshape(tk, tn).astype(compute_dtype)
 
         x = x_ref[:].astype(compute_dtype)                # (M, tk)
+        if has_tail:
+            # x's K overhang may be NaN (undefined OOB reads): mask the
+            # small (M, tk) slab so 0-weight columns stay 0
+            kcol = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+                    + kstep * tk)
+            x = jnp.where(kcol < k_total, x, 0)
         part = jnp.dot(x, w, preferred_element_type=jnp.float32)
 
         @pl.when(kstep == 0)
@@ -217,7 +242,7 @@ def _qmm_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int, tn: int,
     names = PLANE_ORDER[qtype]
     tk = kc * TK
     groups = tk // spec.group
-    n_k = k // tk
+    n_k = pl.cdiv(k, tk)          # tail block masked in-kernel
 
     in_specs = [pl.BlockSpec((m, tk), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)]
@@ -239,7 +264,7 @@ def _qmm_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int, tn: int,
         transcendentals=0,
     )
 
-    kernel = _make_kernel(qtype, compute_dtype, tn, kc)
+    kernel = _make_kernel(qtype, compute_dtype, tn, kc, k)
     return pl.pallas_call(
         kernel,
         grid=(n // tn, n_k),
@@ -271,17 +296,22 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         # on a 1.1B Q4_0 model on v5e: 1024/f32 335 tok/s, 512/f32 326,
         # 256/f32 278, 1024/bf16 243 (isolated-dispatch sweeps are
         # transport-dominated and misleading — always tune in-scan).
-        compute_dtype = jnp.float32
+        # TPULAMM_GEMV_BF16=1 flips this for in-scan re-measurement.
+        import os
+        compute_dtype = (jnp.bfloat16 if os.environ.get("TPULAMM_GEMV_BF16")
+                         else jnp.float32)
     quantum = 16 if compute_dtype == jnp.bfloat16 else 8
     m_pad = max(quantum, -(-m // quantum) * quantum)
     wb = 4 if compute_dtype == jnp.float32 else 2
 
     def vmem_ok(tn_, kc_):
-        # keep the dequant intermediates (unpacked vals + widened q + w:
-        # ~3 (tk, tn) buffers) + resident out block + x slab well under the
-        # 16MB scoped-VMEM stack (the compiler OOMs otherwise)
+        # keep the dequant intermediates + resident out block + x slab
+        # under the 16MB scoped-VMEM stack (the compiler OOMs otherwise).
+        # bf16 path: i8 vals (1B) + widened q (2B) + w (2B) = 5B/elem;
+        # f32 path: i32 vals + f32 + w = 12B/elem.
         tk = kc_ * TK
-        need = 3 * tk * tn_ * wb + m_pad * tn_ * 4 + m_pad * tk * 4
+        per_elem = 5 if wb == 2 else 12
+        need = per_elem * tk * tn_ + m_pad * tn_ * 4 + m_pad * tk * 4
         return need <= 12 * 2 ** 20
 
     gemv = m_pad <= 16
@@ -298,10 +328,22 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         else:
             raise ValueError(f"N={n} not tileable")
     if kc is None:
+        # kc need not divide the chunk count (tail-masked cdiv grid) —
+        # prefer the largest kc whose tail waste stays small and that fits
+        # VMEM; fewer K-steps amortize the per-grid-step overhead
+        import os
+        strict = bool(os.environ.get("TPULAMM_KC_STRICT"))  # perf A/B
         kc_cands = (8, 4, 2) if gemv else (4, 2)
         kc = 1
+        n_chunks = k // TK
         for cand in kc_cands:
-            if (k // TK) % cand == 0 and (gemv or vmem_ok(tn, cand)):
+            if strict:
+                waste_ok = n_chunks % cand == 0
+            else:
+                waste_ok = (n_chunks % cand == 0
+                            or n_chunks % cand >= max(1, cand // 2)
+                            or n_chunks >= 4 * cand)
+            if waste_ok and (gemv or vmem_ok(tn, cand)):
                 kc = cand
                 break
     if x.dtype not in (jnp.bfloat16, jnp.float32):

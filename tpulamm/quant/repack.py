@@ -78,6 +78,9 @@ def _narrow_scales(out: dict[str, np.ndarray],
     they stay f32."""
     if qtype == GGMLType.Q2_K:
         return out
+    import os
+    if os.environ.get("TPULAMM_F32_SCALES"):     # perf A/B escape hatch
+        return out
     for key in ("scales", "mins"):
         if key in out:
             out[key] = out[key].astype(np.float16)

@@ -107,6 +107,10 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None, help="write markdown here")
     p.add_argument("--formats", default=None,
                    help="comma-separated subset (e.g. q4_0,q8_0)")
+    p.add_argument("--e2e-pattern", default=None, metavar="PATH{fmt}",
+                   help="per-format end-to-end tg/pp matrix from models at "
+                        "this pattern, e.g. tmp_bench/tiny11b_{fmt}.gguf "
+                        "(BASELINE.md §2/§3 tables)")
     args = p.parse_args(argv)
     if args.model is not None:
         import os
@@ -142,6 +146,29 @@ def main(argv=None):
                   f"{r['tg256']:,.1f} tok/s"]
         print(lines[-2], file=sys.stderr)
         print(lines[-1], file=sys.stderr)
+    if args.e2e_pattern:
+        # per-format end-to-end matrix (reference README.md:674-723 tables;
+        # ref tg/pp columns: tiny-llama-1.1b, 4 threads, level 3)
+        ref_pp = {"q4_0": 36.14, "q4_1": 36.87, "q5_0": 37.61,
+                  "q5_1": 35.91, "q8_0": 79.68, "q2_k": 17.70}
+        ref_tg = {"q4_0": 20.16, "q4_1": 19.76, "q5_0": 17.89,
+                  "q5_1": 16.79, "q8_0": 18.60, "q2_k": 12.61}
+        lines += ["", "Per-format end-to-end (1.1B-shape model, one chip; "
+                  "ref: tiny-llama-1.1b on 3A6000x4t L3):", "",
+                  "| format | pp512 t/s | tg256 t/s | ref pp | ref tg "
+                  "| tg ratio |", "|---|---|---|---|---|---|"]
+        import os
+        for q in ("q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "q2_k"):
+            path = args.e2e_pattern.replace("{fmt}", q)
+            if not os.path.isfile(path):
+                print(f"skip {q}: {path} missing", file=sys.stderr)
+                continue
+            r = bench_model(path)
+            lines.append(
+                f"| {q} | {r['pp512']:,.0f} | {r['tg256']:,.1f} "
+                f"| {ref_pp[q]} | {ref_tg[q]} "
+                f"| {r['tg256'] / ref_tg[q]:,.0f}x |")
+            print(lines[-1], file=sys.stderr)
     md = "\n".join(lines) + "\n"
     if args.output:
         with open(args.output, "w") as f:

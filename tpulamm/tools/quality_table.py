@@ -102,16 +102,20 @@ def quality_table(f32_path: str, *, corpus: bytes | None = None,
 
     corpus = corpus if corpus is not None else build_corpus()
     held_out = corpus[int(len(corpus) * 0.95):]
-    # byte-level tokens: 1 char ~ 1 token; cap the eval size
-    text = held_out.decode("utf-8", "replace")[: (n_ctx + 8) * n_chunks]
+    # evaluate with the TRAINING token mapping (raw byte + 3) — the SPM
+    # text path would re-map spaces to U+2581 bytes the model never saw
+    toks = (np.frombuffer(held_out, np.uint8).astype(np.int32) + 3)
+    toks = list(toks[: (n_ctx + 8) * n_chunks])
 
     rows = []
     base_dir = os.path.dirname(os.path.abspath(f32_path)) or "."
     base_npz = os.path.join(base_dir, "quality_base_logits.npz")
 
     eng = Engine(f32_path, n_ctx=n_ctx)
-    ref = compute_perplexity(eng, text, n_ctx=n_ctx, progress=False)
-    save_logits(eng, text, base_npz, n_ctx=n_ctx, max_chunks=n_chunks)
+    ref = compute_perplexity(eng, "", n_ctx=n_ctx, progress=False,
+                             tokens=toks)
+    save_logits(eng, "", base_npz, n_ctx=n_ctx, max_chunks=n_chunks,
+                tokens=toks)
     rows.append({"format": "F32", "ppl": ref["ppl"], "dppl": 0.0,
                  "kl": 0.0, "top1_agree": 1.0})
     log(f"F32    ppl {ref['ppl']:.4f}")
@@ -122,7 +126,8 @@ def quality_table(f32_path: str, *, corpus: bytes | None = None,
         quantize_file(f32_path, qpath, getattr(GGMLType, fmt),
                       verbose=False)
         eng = Engine(qpath, n_ctx=n_ctx)
-        got = compute_perplexity(eng, text, n_ctx=n_ctx, progress=False)
+        got = compute_perplexity(eng, "", n_ctx=n_ctx, progress=False,
+                                 tokens=toks)
         kl = kl_divergence(eng, base_npz)
         rows.append({"format": fmt, "ppl": got["ppl"],
                      "dppl": got["ppl"] - ref["ppl"],
