@@ -178,10 +178,19 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     # (segment masks and ALiBi use the einsum path). Query positions are
     # affine (engine contract: n_past + arange, pads at the tail) — the
     # kernel reconstructs them from base + row index.
+    #
+    # Auto dispatch is WORKLOAD-shaped (measured on v5e, 1.1B Q4_0):
+    # prefill (large T) amortizes the ~10us kernel-call floor and skips
+    # the (B,H,T,S) score materialization; single-token decode pays the
+    # floor per layer per step, and the XLA-fused einsum wins until the
+    # KV span is long (tg256: einsum 441 vs flash 376 t/s at S=2049 —
+    # linear einsum growth crosses the flash flat cost around S~6k).
+    S_cache = cache.k[layer_idx].shape[2]
+    auto = jax.default_backend() == "tpu" and (T >= 64 or S_cache >= 6144)
     use_flash = (segs is None and cfg.max_alibi_bias == 0.0
                  and hd in (64, 128, 256)
                  and (cfg.flash_attn if cfg.flash_attn is not None
-                      else jax.default_backend() == "tpu"))
+                      else auto))
     if use_flash:
         from tpulamm.ops.flash_attention import flash_attention
         kpos = cache.pos if slots is None else cache.pos[slots]
@@ -200,9 +209,18 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
                          cfg.row_attn), cache
 
     # scores: (B, Hkv, G, T, S); cache is head-major so each head's (S, D)
-    # plane streams contiguously into the dot — no relayout copies
-    scores = jnp.einsum("bthgd,bhsd->bhgts", qg.astype(jnp.float32),
-                        kc.astype(jnp.float32))
+    # plane streams contiguously into the dot — no relayout copies.
+    # bf16 caches feed the MXU directly (f32 accumulation): upcasting K/V
+    # to f32 first would materialize full-cache copies every step (the MXU
+    # runs bf16 passes on f32 inputs at DEFAULT precision anyway, so the
+    # upcast bought no accuracy); f32 caches keep the exact path.
+    # (CPU XLA has no BF16xBF16=F32 dot thunk — TPU only)
+    on_tpu = jax.default_backend() == "tpu"
+    qk_dt = (kc.dtype if (on_tpu and kc.dtype == jnp.bfloat16)
+             else jnp.float32)
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qg.astype(qk_dt),
+                        kc.astype(qk_dt),
+                        preferred_element_type=jnp.float32)
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(hd)))
 
     kpos = cache.pos if slots is None else cache.pos[slots]   # (B, S)
@@ -238,7 +256,10 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     mask = mask[:, None, None, :, :]                   # (B, 1, 1, T, S)
 
     probs = masked_softmax(scores, mask)
-    out = jnp.einsum("bhgts,bhsd->bthgd", probs, vc.astype(jnp.float32))
+    pv_dt = (vc.dtype if (on_tpu and vc.dtype == jnp.bfloat16)
+             else jnp.float32)
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs.astype(pv_dt),
+                     vc.astype(pv_dt), preferred_element_type=jnp.float32)
     out = out.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)
     return _proj_row(out, layer["wo"], cfg, layer.get("bo"),
                      cfg.row_attn), cache

@@ -156,7 +156,13 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int,
     # count, which forced kc=1 (43 grid steps) before.
     has_tail = k_total % tk != 0
 
-    fast = compute_dtype == jnp.bfloat16
+    # "fast" = packed-i32 per-byte unpack (0.5 VPU ops/elem) + single
+    # widening convert + one FMA; default for bf16 compute.
+    # TPULAMM_I8_UNPACK=1 also routes f32 compute through it (hybrid
+    # experiment: packed unpack, f32 FMA+MXU).
+    import os
+    fast = (compute_dtype == jnp.bfloat16
+            or bool(os.environ.get("TPULAMM_I8_UNPACK")))
 
     def kernel(x_ref, *refs):
         plane_refs = dict(zip(names, refs[:-1]))
@@ -300,6 +306,16 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         import os
         compute_dtype = (jnp.bfloat16 if os.environ.get("TPULAMM_GEMV_BF16")
                          else jnp.float32)
+    else:
+        # matmul regime: f32 compute is the measured default on v5e —
+        # the MXU runs bf16 passes on f32 inputs at DEFAULT precision
+        # (same arithmetic), while the VPU dequant avoids Mosaic's
+        # expensive 16-bit-target converts (i8->bf16 lane packing).
+        # bench.py flagship shape: bf16 67.5 -> f32 116.6 TFLOPS.
+        # TPULAMM_MM_BF16=1 reverts for A/B.
+        import os
+        if not os.environ.get("TPULAMM_MM_BF16"):
+            compute_dtype = jnp.float32
     quantum = 16 if compute_dtype == jnp.bfloat16 else 8
     m_pad = max(quantum, -(-m // quantum) * quantum)
     wb = 4 if compute_dtype == jnp.float32 else 2
@@ -312,7 +328,9 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         tk = kc_ * TK
         per_elem = 5 if wb == 2 else 12
         need = per_elem * tk * tn_ + m_pad * tn_ * 4 + m_pad * tk * 4
-        return need <= 12 * 2 ** 20
+        # 16MB scoped-VMEM stack; 12.5MB empirical headroom (the bf16
+        # M=128 flagship tile tn=2048/kc=4 needs 12.02MB and compiles)
+        return need <= int(12.5 * 2 ** 20)
 
     gemv = m_pad <= 16
     if tn is None:

@@ -17,12 +17,11 @@ contraction dim, N the output dim; all planes have N on the last/lane axis):
   q2      uint8 (K/4, N)   (Q2_K) crumbs: byte at row 64c + s holds crumb t =
                            element 256c + s + 64t  (shift 2t)
   q8      int8  (K, N)     (Q8_0) plain transposed int8
-  scales  f16   (K/g, N)   per-group scale (g=32) — fp16 EXACTLY as stored
-                           on disk (ggml-common.h:144 block_q*_0.d is
-                           ggml_fp16_t), halving scale HBM traffic vs f32.
-                           Q2_K keeps f32: its effective per-16 scales are
-                           d*sc products that exceed the fp16 mantissa.
-  mins    f16   (K/g, N)   (Q4_1/Q5_1: m; Q2_K: f32 effective dmin*mn,
+  scales  f32   (K/g, N)   per-group scale (g=32; Q2_K g=16, effective
+                           d*sc). TPULAMM_F16_SCALES=1 stores fp16
+                           (lossless vs disk) — see _narrow_scales for
+                           why f32 is the measured default on v5e.
+  mins    f32   (K/g, N)   (Q4_1/Q5_1: m; Q2_K: effective dmin*mn,
                            negated at use site)
 
 rows layout (row-major, used for quantized embedding-table gather):
@@ -72,14 +71,19 @@ SPECS: dict[GGMLType, QFormatSpec] = {
 
 def _narrow_scales(out: dict[str, np.ndarray],
                    qtype: GGMLType) -> dict[str, np.ndarray]:
-    """Store scale/min planes as fp16 where that is EXACT (the on-disk GGUF
-    scale is fp16, so f32->f16 is a lossless roundtrip). Q2_K's effective
-    per-16 scales are d*sc / dmin*mn products needing >10 mantissa bits —
-    they stay f32."""
-    if qtype == GGMLType.Q2_K:
-        return out
+    """Optionally store scale/min planes as fp16 (EXACT: the on-disk GGUF
+    scale is fp16, so f32->f16 is a lossless roundtrip; Q2_K's effective
+    per-16 scales are d*sc products needing >10 mantissa bits and always
+    stay f32).
+
+    OFF by default: measured IN-SCAN on v5e, the u16->i32 widening
+    relayout of the in-kernel fp16 decode costs far more than the saved
+    HBM traffic (tg256 589.6 -> 441.5 t/s on the 1.1B Q4_0 model) —
+    decode is VPU-bound, not bandwidth-bound, on this part. Set
+    TPULAMM_F16_SCALES=1 to re-enable (e.g. for parts with native f16
+    vectors or when HBM-bound at much larger models)."""
     import os
-    if os.environ.get("TPULAMM_F32_SCALES"):     # perf A/B escape hatch
+    if qtype == GGMLType.Q2_K or not os.environ.get("TPULAMM_F16_SCALES"):
         return out
     for key in ("scales", "mins"):
         if key in out:
