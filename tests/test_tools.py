@@ -225,3 +225,15 @@ def test_override_kv_and_tokenize_dump(model_path, capsys):
     tok_main(["-m", model_path, "-p", "the cat", "--ids"])
     ids = capsys.readouterr().out.split()
     assert all(t.isdigit() for t in ids) and len(ids) > 2
+
+
+def test_fetch_weights_offline_and_urls():
+    """Weights fetcher: HF URL construction + clear offline failure."""
+    import pytest as _pytest
+
+    from tpulamm.tools.fetch_weights import download, hf_url
+    assert hf_url("org/repo", "model.gguf") == \
+        "https://huggingface.co/org/repo/resolve/main/model.gguf?download=true"
+    with _pytest.raises(SystemExit, match="cannot reach"):
+        download("https://invalid.invalid/x.gguf",
+                 "tmp_verify/nope.gguf", quiet=True)
