@@ -179,3 +179,37 @@ def test_cancel_endpoint(server):
     # slot must be free again
     st, body = _get(server, "/health")
     assert json.loads(body)["slots_idle"] == 2
+
+
+def test_server_tensor_parallel(tmp_path_factory):
+    """The HTTP server serving a tp=2-sharded engine on the virtual mesh."""
+    torch.manual_seed(6)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv_tp") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+
+    from tpulamm.server.server import serve
+    started = threading.Event()
+    t = threading.Thread(target=serve, args=(path,),
+                         kwargs=dict(host="127.0.0.1", port=0, n_slots=2,
+                                     n_ctx=64, started=started, tp=2),
+                         daemon=True)
+    t.start()
+    assert started.wait(timeout=300)
+    base = f"http://127.0.0.1:{started.httpd.server_port}"
+    try:
+        st, body = _post(base, "/completion",
+                         {"prompt": "the cat", "n_predict": 6,
+                          "temperature": 0.0})
+        obj = json.loads(body)
+        assert st == 200 and obj["tokens_predicted"] > 0
+    finally:
+        started.sched.running = False
+        started.httpd.shutdown()
