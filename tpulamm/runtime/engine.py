@@ -955,8 +955,11 @@ class Engine:
         # the KV holds post-EOS/over-run tokens a later save_session or
         # continued decode would silently include. (The very last returned
         # token's KV is pending — written on the next decode step — matching
-        # the host-loop generate() contract.)
-        self.rollback(slot, start0 + min(len(out), total_written))
+        # the host-loop generate() contract.) Skipped when already
+        # consistent — the common full-output case — to save a dispatch.
+        target = start0 + min(len(out), total_written)
+        if target != int(self.n_past[slot]):
+            self.rollback(slot, target)
         if self.mesh is None:    # mesh blocks went through decode_batch_fast,
             self.timings.t_eval += time.perf_counter() - t0
             self.timings.n_eval += len(out)   # which counts its own timings
