@@ -1,0 +1,77 @@
+"""Performance regression gate.
+
+Runs bench.py's flagship metric (and optionally the e2e tg256) and fails
+if results drop below recorded floors — the automated guard the round-1
+review noted was missing (regressions like the KV-layout one were only
+caught by manually re-running benches).
+
+    python -m tpulamm.tools.perf_gate                # matmul gate only
+    python -m tpulamm.tools.perf_gate -m model.gguf  # + decode gate
+
+Floors are deliberately ~25% under the measured medians to stay outside
+the run-to-run noise band (PERF.md: ±15-20%).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+# measured medians (PERF.md): flagship matmul ~118-130k GFLOPS, tg256 ~590
+FLOOR_MATMUL_GFLOPS = 85_000.0
+FLOOR_TG256 = 450.0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpulamm-perf-gate")
+    p.add_argument("-m", "--model", default=None,
+                   help="GGUF for the decode (tg256) gate")
+    p.add_argument("--matmul-floor", type=float, default=FLOOR_MATMUL_GFLOPS)
+    p.add_argument("--tg-floor", type=float, default=FLOOR_TG256)
+    args = p.parse_args(argv)
+
+    failures = []
+    out = subprocess.run([sys.executable, "bench.py"],
+                         capture_output=True, text=True, timeout=3600)
+    line = next((ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    if line is None:
+        print(out.stdout, out.stderr, file=sys.stderr)
+        failures.append("bench.py produced no metric")
+    else:
+        r = json.loads(line)
+        print(f"matmul: {r['value']:,.0f} GFLOPS "
+              f"(floor {args.matmul_floor:,.0f})")
+        if r["value"] < args.matmul_floor:
+            failures.append(
+                f"matmul {r['value']:,.0f} < floor {args.matmul_floor:,.0f}")
+
+    if args.model:
+        from tpulamm.runtime.engine import Engine
+        eng = Engine(args.model, n_ctx=512)
+        eng.generate_fast([1], n_predict=256, temp=0.0, stop_on_eos=False)
+        best = 0.0
+        for _ in range(3):
+            eng.reset_slot(0)
+            eng.prefill(0, [1])
+            t0 = time.perf_counter()
+            eng.generate_fast([1], n_predict=256, temp=0.0,
+                              stop_on_eos=False)
+            best = max(best, 256 / (time.perf_counter() - t0))
+        print(f"tg256: {best:,.1f} tok/s (floor {args.tg_floor:,.1f})")
+        if best < args.tg_floor:
+            failures.append(f"tg256 {best:,.1f} < floor {args.tg_floor:,.1f}")
+
+    if failures:
+        print("PERF GATE FAILED:\n  " + "\n  ".join(failures),
+              file=sys.stderr)
+        return 1
+    print("perf gate ok")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
