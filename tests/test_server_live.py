@@ -213,3 +213,26 @@ def test_server_tensor_parallel(tmp_path_factory):
     finally:
         started.sched.running = False
         started.httpd.shutdown()
+
+
+def test_n_probs_and_openai_logprobs(server):
+    """server.cpp n_probs / OpenAI logprobs payloads (slow path)."""
+    st, body = _post(server, "/completion",
+                     {"prompt": "the cat", "n_predict": 4,
+                      "temperature": 0.0, "n_probs": 3})
+    obj = json.loads(body)
+    cps = obj["completion_probabilities"]
+    assert len(cps) == 4
+    assert len(cps[0]["probs"]) == 3
+    assert 0.0 <= cps[0]["probs"][0]["prob"] <= 1.0
+    # greedy: the sampled token must be the top-1
+    assert abs(cps[0]["sampled_prob"] - cps[0]["probs"][0]["prob"]) < 1e-9
+
+    st, body = _post(server, "/v1/completions",
+                     {"prompt": "the cat", "max_tokens": 3,
+                      "temperature": 0.0, "logprobs": 2})
+    ch = json.loads(body)["choices"][0]
+    lp = ch["logprobs"]
+    assert len(lp["tokens"]) == 3
+    assert len(lp["top_logprobs"][0]) == 2
+    assert all(v <= 0.0 for v in lp["token_logprobs"])

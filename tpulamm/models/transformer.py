@@ -181,12 +181,15 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     #
     # Auto dispatch is WORKLOAD-shaped (measured on v5e, 1.1B Q4_0):
     # prefill (large T) amortizes the ~10us kernel-call floor and skips
-    # the (B,H,T,S) score materialization; single-token decode pays the
-    # floor per layer per step, and the XLA-fused einsum wins until the
-    # KV span is long (tg256: einsum 441 vs flash 376 t/s at S=2049 —
-    # linear einsum growth crosses the flash flat cost around S~6k).
+    # the (B,H,G,T,S) score materialization — but that only pays once the
+    # scores are big (pp512 at S=513: einsum 11.8k vs flash 11.2k t/s;
+    # at S=2049 the einsum would round-trip ~134MB of scores per layer).
+    # Single-token decode pays the floor per layer per step, and the
+    # XLA-fused einsum wins until the KV span is long (tg256: einsum 441
+    # vs flash 376 t/s at S=2049 — crossover around S~6k).
     S_cache = cache.k[layer_idx].shape[2]
-    auto = jax.default_backend() == "tpu" and (T >= 64 or S_cache >= 6144)
+    auto = jax.default_backend() == "tpu" and (
+        (T >= 64 and S_cache >= 1024) or S_cache >= 6144)
     use_flash = (segs is None and cfg.max_alibi_bias == 0.0
                  and hd in (64, 128, 256)
                  and (cfg.flash_attn if cfg.flash_attn is not None

@@ -38,6 +38,8 @@ class SamplingParams:
     samplers_sequence: str = "kfypmt"   # top_k,tfs,typical,top_p,min_p,temp
     logit_bias: dict[int, float] = field(default_factory=dict)
     ignore_eos: bool = False
+    n_probs: int = 0               # top-N token probs per emitted token
+    #                                (server.cpp n_probs / OpenAI logprobs)
 
 
 def softmax(logits: np.ndarray) -> np.ndarray:

@@ -184,6 +184,18 @@ class Scheduler(threading.Thread):
                 self.metrics.prompt_tokens += len(tokens)
             self._sample_and_emit(i, logits)
 
+    def _top_probs(self, logits: np.ndarray, n: int, sampled: int) -> dict:
+        """Top-n token probabilities + the sampled token's probability
+        (server.cpp n_probs payload)."""
+        from tpulamm.runtime.sampling import softmax
+        p = softmax(np.asarray(logits, np.float64))
+        idx = np.argsort(p)[::-1][:n]
+        tok = self.engine.tokenizer
+        top = [{"id": int(t),
+                "tok_str": tok.token_to_piece(int(t)) if tok else str(t),
+                "prob": float(p[t])} for t in idx]
+        return {"top": top, "sampled_prob": float(p[sampled])}
+
     def _sample_and_emit(self, i: int, logits: np.ndarray):
         slot = self.slots[i]
         eng = self.engine
@@ -194,7 +206,9 @@ class Scheduler(threading.Thread):
         if not stop:
             slot.n_gen += 1
             piece = eng.tokenizer.token_to_piece(tok) if eng.tokenizer else ""
-            slot.req.out.put(("tok", tok, piece))
+            probs = (self._top_probs(logits, slot.req.params.n_probs, tok)
+                     if slot.req.params.n_probs else None)
+            slot.req.out.put(("tok", tok, piece, probs))
             with self.metrics.lock:
                 self.metrics.generated_tokens += 1
         if stop or slot.n_gen >= slot.req.n_predict:
@@ -205,10 +219,10 @@ class Scheduler(threading.Thread):
     @staticmethod
     def _fast_eligible(p) -> bool:
         """Sampling the on-device batch scan reproduces exactly: greedy or
-        plain temp+top-k, no penalties/grammar/bias/mirostat."""
+        plain temp+top-k, no penalties/grammar/bias/mirostat/probs."""
         plain = (p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
                  and p.penalty_present == 0.0 and p.mirostat == 0
-                 and not p.logit_bias)
+                 and not p.logit_bias and p.n_probs == 0)
         if not plain:
             return False
         if p.temp <= 0.0:
@@ -248,7 +262,7 @@ class Scheduler(threading.Thread):
                 slot.n_gen += 1
                 piece = (eng.tokenizer.token_to_piece(tok)
                          if eng.tokenizer else "")
-                slot.req.out.put(("tok", tok, piece))
+                slot.req.out.put(("tok", tok, piece, None))
                 with self.metrics.lock:
                     self.metrics.generated_tokens += 1
                 if slot.n_gen >= slot.req.n_predict:
@@ -349,6 +363,9 @@ def make_handler(sched: Scheduler, model_name: str):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def _params_from(self, body: dict) -> SamplingParams:
+            # n_probs (native) / logprobs (OpenAI int form)
+            n_probs = int(body.get("n_probs", 0)
+                          or (body.get("logprobs") or 0))
             return SamplingParams(
                 temp=float(body.get("temperature", 0.8)),
                 top_k=int(body.get("top_k", 40)),
@@ -356,6 +373,7 @@ def make_handler(sched: Scheduler, model_name: str):
                 min_p=float(body.get("min_p", 0.05)),
                 penalty_repeat=float(body.get("repeat_penalty", 1.1)),
                 seed=int(body.get("seed", 0xFFFFFFFF)),
+                n_probs=n_probs,
             )
 
         def _run_request(self, prompt, body, kind: str):
@@ -406,15 +424,22 @@ def make_handler(sched: Scheduler, model_name: str):
             text = ""
             usage = {}
             finish = "stop"
+            probs_acc = []
             while True:
                 item = req.out.get()
                 if item[0] == "tok":
                     text += item[2]
+                    if len(item) > 3 and item[3] is not None:
+                        probs_acc.append({"content": item[2],
+                                          "probs": item[3]["top"],
+                                          "sampled_prob":
+                                              item[3]["sampled_prob"]})
                 else:
                     finish = item[1]
                     usage = item[2]
                     break
-            self._json(200, self._final_obj(kind, text, finish, usage))
+            self._json(200, self._final_obj(kind, text, finish, usage,
+                                            probs_acc or None))
 
         def _stream_obj(self, kind, piece, finish):
             if kind == "chat":
@@ -430,7 +455,7 @@ def make_handler(sched: Scheduler, model_name: str):
                                      "finish_reason": finish}]}
             return {"content": piece, "stop": finish is not None}
 
-        def _final_obj(self, kind, text, finish, usage):
+        def _final_obj(self, kind, text, finish, usage, probs=None):
             u = {"prompt_tokens": usage.get("prompt_tokens", 0),
                  "completion_tokens": usage.get("completion_tokens", 0),
                  "total_tokens": usage.get("prompt_tokens", 0)
@@ -443,15 +468,31 @@ def make_handler(sched: Scheduler, model_name: str):
                                                  "content": text}}],
                         "usage": u}
             if kind == "oai":
+                choice = {"index": 0, "text": text, "finish_reason": finish}
+                if probs:
+                    # OpenAI text-completion logprobs shape
+                    choice["logprobs"] = {
+                        "tokens": [p["content"] for p in probs],
+                        "token_logprobs": [
+                            float(np.log(max(p["sampled_prob"], 1e-30)))
+                            for p in probs],
+                        "top_logprobs": [
+                            {q["tok_str"]:
+                             float(np.log(max(q["prob"], 1e-30)))
+                             for q in p["probs"]} for p in probs],
+                    }
                 return {"id": "cmpl", "object": "text_completion",
                         "model": model_name,
-                        "choices": [{"index": 0, "text": text,
-                                     "finish_reason": finish}],
+                        "choices": [choice],
                         "usage": u}
-            return {"content": text, "stop": True,
-                    "stopped_eos": finish == "stop",
-                    "tokens_predicted": u["completion_tokens"],
-                    "tokens_evaluated": u["prompt_tokens"]}
+            out = {"content": text, "stop": True,
+                   "stopped_eos": finish == "stop",
+                   "tokens_predicted": u["completion_tokens"],
+                   "tokens_evaluated": u["prompt_tokens"]}
+            if probs:
+                # server.cpp completion_probabilities payload
+                out["completion_probabilities"] = probs
+            return out
 
         def do_POST(self):
             body = self._read_body()
