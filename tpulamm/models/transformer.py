@@ -271,6 +271,26 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
 def ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
     """llm_build_ffn (llama.cpp:5203): gated (PAR) when ffn_gate exists."""
     if layer.get("wgateup_fused") is not None:
+        B, T, dim = h.shape
+        import os
+        if (os.environ.get("TPULAMM_FUSED_FFN")
+                and jax.default_backend() == "tpu"
+                and isinstance(layer["w_down"], QTensor)):
+            # single-launch FFN kernel — measured SLOWER in-scan on v5e
+            # (tg256 562.8 vs 607.8): the saved call floor is outweighed
+            # by the unfused path's better cross-step DMA pipelining.
+            # Kept opt-in for future hardware (see PERF.md policy table).
+            from tpulamm.ops.pallas_ffn import (ffn_fused,
+                                                ffn_fused_eligible)
+            if ffn_fused_eligible(layer["wgateup_fused"], layer["w_down"],
+                                  B * T) and cfg.ffn_act in ("silu",
+                                                             "gelu"):
+                y = ffn_fused(h.reshape(B * T, dim),
+                              layer["wgateup_fused"], layer["w_down"],
+                              act=cfg.ffn_act)
+                if layer.get("b_down") is not None:
+                    y = y + layer["b_down"].astype(jnp.float32)
+                return y.reshape(B, T, dim)
         gu = _proj(h, layer["wgateup_fused"], cfg)
         half = gu.shape[-1] // 2
         gate, up = gu[..., :half], gu[..., half:]
