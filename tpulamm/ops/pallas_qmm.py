@@ -83,9 +83,12 @@ def _unpack_values(qtype: GGMLType, planes: dict[str, jnp.ndarray],
         v = planes["qs"][:].astype(idtype).reshape(kc, 128, tn)
         vals = jnp.concatenate([v & 0xF, (v >> 4) & 0xF], axis=1)
         if spec.bits == 5:
-            h = planes["qh"][:].astype(idtype).reshape(kc, 32, tn)
-            hb = jnp.concatenate([(h >> t) & 1 for t in range(8)], axis=1)
-            vals = vals | (hb << 4)
+            # build the 5th bit directly at position 4: the shifts/masks
+            # run on the 1/8-size qh plane instead of a full-width << 4
+            h4 = (planes["qh"][:].astype(idtype) << 4).reshape(kc, 32, tn)
+            hb4 = jnp.concatenate([(h4 >> t) & 16 for t in range(8)],
+                                  axis=1)
+            vals = vals | hb4
         return vals.reshape(kc * 256, tn)
     if spec.bits == 2:
         v = planes["q2"][:].astype(idtype).reshape(kc, 64, tn)
@@ -336,13 +339,19 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         return need <= int(12.5 * 2 ** 20)
 
     gemv = m_pad <= 16
+    bits5 = SPECS[qt.qtype].bits == 5
     if tn is None:
-        # widest tile wins at every M — fewer grid steps amortize the
+        # widest tile wins at most M — fewer grid steps amortize the
         # ~0.4-0.6us per-step overhead (in-scan sweep on 1.1B Q4_0/v5e:
         # decode tn<=2048 kc<=8 -> 1368 us/step vs tn<=1024 kc<=4 -> 1520;
         # M=128 matmul 58 -> 76 TFLOPS) — but large-M tiles must pass the
-        # scoped-VMEM check below or the kernel compiler OOMs
-        for cand in (2048, 1024, 512, 256, 128):
+        # scoped-VMEM check below or the kernel compiler OOMs.
+        # 5-bit formats carry the extra qh plane: measured (flagship M=128
+        # q5_1), tn=1024/kc=4 beats tn=2048/kc=2 135.8 vs 106.0 TFLOPS —
+        # the narrower tile rebalances VMEM for the deeper K-step.
+        cands = ((1024, 2048, 512, 256, 128) if bits5 and not gemv
+                 else (2048, 1024, 512, 256, 128))
+        for cand in cands:
             if n % cand == 0 and (vmem_ok(cand, 1) or cand == 128):
                 tn = cand
                 break
