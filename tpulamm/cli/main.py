@@ -108,8 +108,12 @@ def main(argv=None):
         with open(args.file) as f:
             prompt = f.read()
     if args.escape:
-        # process_escapes (common.cpp) semantics
-        prompt = prompt.encode().decode("unicode_escape")
+        # process_escapes (common.cpp) semantics; the latin-1 round-trip
+        # keeps multibyte UTF-8 intact (a bare unicode_escape would
+        # reinterpret UTF-8 bytes as Latin-1 and mojibake the prompt)
+        prompt = (prompt.encode("latin-1", "backslashreplace")
+                  .decode("unicode_escape")
+                  .encode("latin-1", "replace").decode("utf-8", "replace"))
 
     import jax.numpy as jnp
 

@@ -333,10 +333,19 @@ def moe_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
         up = _proj(h, layer["ffn_up_exp"][e], cfg)
         mid = (_act(gate.astype(jnp.float32), cfg.ffn_act)
                * up.astype(jnp.float32)).astype(cfg.cdtype)
-        ex = _proj_row(mid, layer["ffn_down_exp"][e], cfg,
-                       mode=cfg.row_moe).astype(jnp.float32)
+        if cfg.row_moe == "gather":
+            # replicated down weight, feature-local mid: per-expert gather
+            ex = _proj_row(mid, layer["ffn_down_exp"][e], cfg,
+                           mode="gather").astype(jnp.float32)
+        else:
+            ex = _proj(mid, layer["ffn_down_exp"][e], cfg) \
+                .astype(jnp.float32)
         ex = ex * onehot[..., e:e + 1]
         out = ex if out is None else out + ex
+    if cfg.row_moe == "psum":
+        # psum is linear and the routing weights are shard-invariant: ONE
+        # collective completes all E partial contractions
+        out = jax.lax.psum(out, cfg.tp_axis)
     return out.astype(cfg.cdtype)
 
 

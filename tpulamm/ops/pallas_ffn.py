@@ -85,6 +85,14 @@ def _tn1_for(ffn: int) -> int | None:
                                              "interpret"))
 def _ffn_call(x, gu_planes, dn_planes, *, qtype, dq_type, k1, ffn, dim,
               act, interpret):
+    # Mosaic has no f16: hand fp16 scale planes to the kernel as raw u16
+    # bits (same preamble as _qmm_call)
+    def _u16(planes):
+        return {nm: (jax.lax.bitcast_convert_type(p, jnp.uint16)
+                     if p.dtype == jnp.float16 else p)
+                for nm, p in planes.items()}
+    gu_planes = _u16(gu_planes)
+    dn_planes = _u16(dn_planes)
     m = x.shape[0]
     names_gu = PLANE_ORDER[qtype]
     names_dn = PLANE_ORDER[dq_type]

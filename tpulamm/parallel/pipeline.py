@@ -124,26 +124,49 @@ def make_pipeline_loss(cfg: ModelConfig, mesh: Mesh, n_micro: int):
         # stage's sum everywhere)
         return jax.lax.psum(loss_sum, "pp") / M
 
-    stacked_spec_probe = None  # specs supplied at call time via wrapper
+    cache: dict = {}
 
     def loss_fn(stacked_params, tokens):
-        specs = pipeline_specs(stacked_params)
-        sm = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(specs, P(*(None,) * tokens.ndim)),
-            out_specs=P(),
-            check_vma=False)
-        return sm(stacked_params, tokens)
+        # build + jit the shard_map once per pytree structure (re-tracing
+        # every call would pay the full GPipe trace per training step)
+        key = jax.tree_util.tree_structure((stacked_params, tokens))
+        fn = cache.get(key)
+        if fn is None:
+            specs = pipeline_specs(stacked_params)
+            sm = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(specs, P(*(None,) * tokens.ndim)),
+                out_specs=P(),
+                check_vma=False)
+            fn = jax.jit(sm)
+            cache[key] = fn
+        return fn(stacked_params, tokens)
 
     return loss_fn
 
 
-def train_step_pp(cfg: ModelConfig, mesh: Mesh, stacked_params, opt,
-                  opt_state, tokens, n_micro: int):
-    """One AdamW step under pipeline parallelism; returns
-    (params, opt_state, loss)."""
+def make_train_step_pp(cfg: ModelConfig, mesh: Mesh, opt, n_micro: int):
+    """Compiled AdamW pipeline step: returns
+    step(params, opt_state, tokens) -> (params, opt_state, loss)."""
     import optax
     loss_fn = make_pipeline_loss(cfg, mesh, n_micro)
-    loss, grads = jax.value_and_grad(loss_fn)(stacked_params, tokens)
-    updates, opt_state = opt.update(grads, opt_state, stacked_params)
-    return optax.apply_updates(stacked_params, updates), opt_state, loss
+
+    @jax.jit
+    def step(stacked_params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(stacked_params, tokens)
+        updates, opt_state = opt.update(grads, opt_state, stacked_params)
+        return optax.apply_updates(stacked_params, updates), opt_state, loss
+
+    return step
+
+
+def train_step_pp(cfg: ModelConfig, mesh: Mesh, stacked_params, opt,
+                  opt_state, tokens, n_micro: int, _cache={}):
+    """One AdamW step under pipeline parallelism; returns
+    (params, opt_state, loss). Compiled steps are cached per
+    (mesh, n_micro, n_layers) so repeated calls don't re-trace."""
+    key = (id(mesh), n_micro, cfg.n_layers, id(opt))
+    step = _cache.get(key)
+    if step is None:
+        step = _cache[key] = make_train_step_pp(cfg, mesh, opt, n_micro)
+    return step(stacked_params, opt_state, tokens)

@@ -238,6 +238,11 @@ class Scheduler(threading.Thread):
                         for i in active)
         n = max(1, min(8, remaining))
         temps = {i: self.slots[i].req.params.temp for i in active}
+        # stochastic requests share one top_k here (gated in run());
+        # greedy slots never consult it
+        stoch = [self.slots[i].req.params.top_k for i in active
+                 if self.slots[i].req.params.temp > 0.0]
+        top_k = stoch[0] if stoch else 40
         # distinct randomness per block AND per request mix: the scan derives
         # its stream from this seed (a fixed seed would repeat the identical
         # stream every block, shared across all concurrent requests)
@@ -248,6 +253,7 @@ class Scheduler(threading.Thread):
                 & 0x7FFFFFFF
         try:
             blocks = eng.decode_batch_fast(active, n, temp=temps,
+                                           top_k=top_k,
                                            seed=seed & 0x7FFFFFFF)
         except ValueError:
             return False
@@ -299,6 +305,11 @@ class Scheduler(threading.Thread):
                     and all(self.slots[i].sampler.grammar is None
                             and self._fast_eligible(self.slots[i].req.params)
                             for i in active)
+                    # the scan samples with ONE top_k: stochastic requests
+                    # must agree on it (greedy ones don't use it)
+                    and len({self.slots[i].req.params.top_k
+                             for i in active
+                             if self.slots[i].req.params.temp > 0.0}) <= 1
                     and self._run_fast_block(active)):
                 with self.metrics.lock:
                     self.metrics.fast_blocks += 1
@@ -405,7 +416,9 @@ def make_handler(sched: Scheduler, model_name: str):
                     try:
                         if item[0] == "tok":
                             text += item[2]
-                            send_chunk(self._stream_obj(kind, item[2], None))
+                            probs = item[3] if len(item) > 3 else None
+                            send_chunk(self._stream_obj(kind, item[2],
+                                                        None, probs))
                         else:
                             send_chunk(self._stream_obj(kind, "", item[1]))
                             data = b"data: [DONE]\n\n"
@@ -441,7 +454,7 @@ def make_handler(sched: Scheduler, model_name: str):
             self._json(200, self._final_obj(kind, text, finish, usage,
                                             probs_acc or None))
 
-        def _stream_obj(self, kind, piece, finish):
+        def _stream_obj(self, kind, piece, finish, probs=None):
             if kind == "chat":
                 delta = {"content": piece} if piece else {}
                 return {"id": "chatcmpl", "object": "chat.completion.chunk",
@@ -453,7 +466,13 @@ def make_handler(sched: Scheduler, model_name: str):
                         "model": model_name,
                         "choices": [{"index": 0, "text": piece,
                                      "finish_reason": finish}]}
-            return {"content": piece, "stop": finish is not None}
+            out = {"content": piece, "stop": finish is not None}
+            if probs is not None:
+                # server.cpp streams completion_probabilities per chunk
+                out["completion_probabilities"] = [
+                    {"content": piece, "probs": probs["top"],
+                     "sampled_prob": probs["sampled_prob"]}]
+            return out
 
         def _final_obj(self, kind, text, finish, usage, probs=None):
             u = {"prompt_tokens": usage.get("prompt_tokens", 0),

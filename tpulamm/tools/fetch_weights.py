@@ -33,6 +33,12 @@ def download(url: str, out_path: str, quiet: bool = False) -> str:
         req.add_header("Range", f"bytes={start}-")
     try:
         resp = urllib.request.urlopen(req, timeout=30)
+    except urllib.error.HTTPError as e:
+        if e.code == 416 and start:
+            # Range past EOF: the .part already holds the whole file
+            os.replace(tmp, out_path)
+            return out_path
+        raise SystemExit(f"HTTP {e.code} fetching {url}: {e.reason}")
     except (urllib.error.URLError, OSError) as e:
         raise SystemExit(
             f"cannot reach {url}: {e}\n"

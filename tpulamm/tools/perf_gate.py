@@ -34,7 +34,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     failures = []
-    out = subprocess.run([sys.executable, "bench.py"],
+    import os
+    bench = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "..", "bench.py")
+    out = subprocess.run([sys.executable, bench],
                          capture_output=True, text=True, timeout=3600)
     line = next((ln for ln in out.stdout.splitlines()
                  if ln.startswith("{")), None)
