@@ -122,3 +122,20 @@ def test_mesh_validation_errors(model_path):
         Engine(model_path, n_ctx=64, tp=4)      # 2 kv heads % 4 != 0
     with pytest.raises(ValueError, match="n_slots"):
         Engine(model_path, n_ctx=64, dp=2, n_slots=3)
+
+
+def test_mesh_session_save_load(model_path, tmp_path):
+    """save_session / load_session round-trip on a mesh-sharded engine."""
+    from tpulamm.runtime.session import load_session, save_session
+    eng = _ref_engine(model_path, dp=1, tp=2, n_slots=2)
+    eng.prefill(0, PROMPT)
+    before = eng.decode_one(0, 7)
+    path = str(tmp_path / "mesh_session.bin")
+    save_session(path, eng, tokens=PROMPT + [7])
+
+    eng2 = _ref_engine(model_path, dp=1, tp=2, n_slots=2)
+    toks = load_session(path, eng2)
+    assert toks == PROMPT + [7]
+    after = eng2.decode_one(0, 9)
+    want = eng.decode_one(0, 9)
+    np.testing.assert_allclose(after, want, rtol=2e-4, atol=2e-4)
