@@ -208,3 +208,29 @@ def test_decode_batch_fast_guards(model_path):
     eng.seq_rm(0, 0, 1)
     with _pytest.raises(ValueError):
         eng.decode_batch_fast({0: 3}, 2)
+
+
+def test_self_extend_positions_match_reference(model_path):
+    """The grouped-attention shift recurrence must track main.cpp:575-598
+    exactly (ib = (ga_n*ga_i)/ga_w; n_past -= bd per shift)."""
+    ga_n, ga_w = 2, 8
+    eng = Engine(model_path, n_ctx=32, grp_attn_n=ga_n, grp_attn_w=ga_w)
+    eng.prefill(0, [1, 300, 301, 302])
+
+    def oracle(n_past, ga_i):
+        while n_past >= ga_i + ga_w:
+            ib = (ga_n * ga_i) // ga_w
+            bd = (ga_w // ga_n) * (ga_n - 1)
+            n_past -= bd
+            ga_i += ga_w // ga_n
+        return n_past, ga_i
+
+    n_past, ga_i = 4, 0
+    for step in range(24):
+        n_past, ga_i = oracle(n_past, ga_i)
+        eng.decode_one(0, 300 + step % 8)
+        n_past += 1
+        assert int(eng.n_past[0]) == n_past, (step, int(eng.n_past[0]), n_past)
+        assert int(eng.ga_i[0]) == ga_i, (step, int(eng.ga_i[0]), ga_i)
+    # the compressed window must stay bounded (never hit "KV cache full")
+    assert int(eng.n_past[0]) < eng.n_ctx

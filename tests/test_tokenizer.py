@@ -130,3 +130,19 @@ def test_native_spm_matches_python():
                              for _ in range(rng.randint(1, 60))))
     for text in cases:
         assert tok.encode(text) == tok_py.encode(text), repr(text)
+
+
+def test_spm_no_space_prefix_after_leading_special(tok):
+    """llama.cpp b2430: the space prefix applies only when the very first
+    fragment is raw — a leading special token (chat templates) suppresses
+    it (llama_tokenize_internal: '&fragment == &fragment_buffer.front()')."""
+    bos = tok.vocab.bos_id
+    after_special = tok.encode("<s>x", add_bos=False, special=True)
+    assert after_special[0] == bos
+    # expected: the raw "x" WITHOUT any space prefix
+    want: list[int] = []
+    tok._spm_encode("x", want)
+    assert after_special[1:] == want
+    # and the plain front-of-text case still gets the prefix
+    if tok.vocab.add_space_prefix:
+        assert tok.encode("x", add_bos=False, special=True) != want

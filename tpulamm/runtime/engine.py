@@ -101,6 +101,9 @@ class Engine:
                           if "tokenizer.ggml.tokens" in self.metadata else None)
         self.n_ctx = n_ctx
         self.n_slots = n_slots
+        if n_ubatch > PREFILL_BUCKETS[-1]:
+            raise ValueError(f"n_ubatch={n_ubatch} exceeds the largest "
+                             f"prefill bucket {PREFILL_BUCKETS[-1]}")
         self.n_ubatch = n_ubatch
         self.grp_attn_n = grp_attn_n
         self.grp_attn_w = grp_attn_w
@@ -334,6 +337,20 @@ class Engine:
                 layer.pop("w_gate", None)
                 layer.pop("w_up", None)
 
+    def newline_id(self) -> int:
+        """llama_token_nl: the vocab's id for a newline (BPE vocabs don't
+        use the SPM byte token 13)."""
+        if not hasattr(self, "_nl_id"):
+            self._nl_id = 13
+            if self.tokenizer is not None:
+                try:
+                    ids = self.tokenizer.encode("\n", add_bos=False)
+                    if ids:
+                        self._nl_id = ids[-1]
+                except Exception:
+                    pass
+        return self._nl_id
+
     def token_pieces(self) -> list[bytes]:
         """Raw piece bytes per token id (cached; grammar sampling input)."""
         if not hasattr(self, "_token_pieces"):
@@ -351,7 +368,7 @@ class Engine:
         host — a (T, vocab) copy is megabytes per ubatch and dominates
         prefill wall-time on remote transports."""
         t = len(tokens)
-        bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
+        bucket = self._bucket_for(t) if t > 1 else 1
         if self.mesh is not None:
             # mesh path: the batch always covers all slots in order (only
             # `slot`'s row is live; others pad to the trash cell) so the
@@ -374,6 +391,15 @@ class Engine:
         if all_logits:
             return np.asarray(logits[r, :t])
         return np.asarray(logits[r, t - 1:t])   # device-side slice
+
+    def _bucket_for(self, t: int) -> int:
+        """Smallest prefill bucket >= t, with a clear error instead of a
+        bare StopIteration when a ubatch exceeds the bucket table."""
+        if t > PREFILL_BUCKETS[-1]:
+            raise ValueError(
+                f"ubatch of {t} tokens exceeds the largest prefill bucket "
+                f"{PREFILL_BUCKETS[-1]}; lower n_ubatch or chunk the input")
+        return next(b for b in PREFILL_BUCKETS if b >= t)
 
     def _rows_for_step(self, slot: int):
         """(rows, live_row, slots_arg) for a single-slot step: 1-row batch
@@ -504,7 +530,7 @@ class Engine:
             pos = self.n_past[slot] + np.arange(len(chunk))
             cells = self._cells_for(slot, len(chunk), pos)
             t = len(chunk)
-            bucket = next(b for b in PREFILL_BUCKETS if b >= t)
+            bucket = self._bucket_for(t)
             tok = np.zeros((rows, bucket), np.int32)
             tok[r, :t] = chunk
             p = np.full((rows, bucket), -1, np.int32)
@@ -553,7 +579,7 @@ class Engine:
                     donate=(3,))
         t = len(tokens)
         cells = self._cells_for(slot, t, np.asarray(positions))
-        bucket = next(b for b in PREFILL_BUCKETS if b >= t)
+        bucket = self._bucket_for(t)
         rows, r, slots_arg = self._rows_for_step(slot)
         tok = np.zeros((rows, bucket), np.int32)
         tok[r, :t] = tokens
@@ -614,7 +640,7 @@ class Engine:
             t = len(chunk)
             pos = (self.n_past[slot] + np.arange(t)).astype(np.int32)
             cells = self._cells_for(slot, t, pos)
-            bucket = next(b for b in PREFILL_BUCKETS if b >= t) if t > 1 else 1
+            bucket = self._bucket_for(t) if t > 1 else 1
             emb = np.zeros((rows, bucket, embeds.shape[1]), np.float32)
             emb[r, :t] = chunk
             posb = np.full((rows, bucket), -1, np.int32)
@@ -727,17 +753,19 @@ class Engine:
             row[:len(live)] = live
 
     def _self_extend(self, slot: int):
-        """Self-extend grouped attention position surgery (main.cpp:575-598)."""
+        """Self-extend grouped attention position surgery, exactly
+        main.cpp:575-598: ib = (ga_n*ga_i)/ga_w, and n_past shrinks by bd
+        each shift (the compressed window frees bd positions)."""
         ga_n, ga_w = self.grp_attn_n, self.grp_attn_w
         while self.n_past[slot] >= self.ga_i[slot] + ga_w:
-            ib = int(self.ga_i[slot] / ga_w)
+            i, np_ = int(self.ga_i[slot]), int(self.n_past[slot])
+            ib = (ga_n * i) // ga_w
             bd = (ga_w // ga_n) * (ga_n - 1)
             dd = (ga_w // ga_n) - ib * bd - ga_w
-            i, np_ = int(self.ga_i[slot]), int(self.n_past[slot])
             self.seq_add(slot, i, np_, ib * bd)
             self.seq_div(slot, i + ib * bd, i + ib * bd + ga_w, ga_n)
             self.seq_add(slot, i + ib * bd + ga_w, np_ + ib * bd, dd)
-            self.n_past[slot] += bd + dd
+            self.n_past[slot] -= bd
             self.ga_i[slot] += ga_w // ga_n
 
     # -- on-device decode loop -------------------------------------------------
@@ -767,6 +795,11 @@ class Engine:
                 lg = logits[0, 0]
                 if greedy:
                     nxt = jnp.argmax(lg).astype(jnp.int32)
+                elif top_k <= 0:
+                    # top-k disabled (host-sampler semantics): full softmax
+                    key, sub = jax.random.split(key)
+                    nxt = jax.random.categorical(
+                        sub, lg / jnp.maximum(temp, 1e-6)).astype(jnp.int32)
                 else:
                     key, sub = jax.random.split(key)
                     kv_, ki = jax.lax.top_k(lg, top_k)
@@ -800,6 +833,12 @@ class Engine:
                 lg = logits[:, 0]                      # (B, V)
                 if greedy:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                elif top_k <= 0:
+                    key, sub = jax.random.split(key)
+                    sampled = jax.random.categorical(
+                        sub, lg / jnp.maximum(temp, 1e-6)[:, None])
+                    nxt = jnp.where(temp > 0.0, sampled,
+                                    jnp.argmax(lg, axis=-1)).astype(jnp.int32)
                 else:
                     key, sub = jax.random.split(key)
                     kv_, ki = jax.lax.top_k(lg, top_k)
@@ -851,7 +890,6 @@ class Engine:
         reset+prefill; not after context shift) and plain temp/top-k
         sampling. Returns {slot: [tokens...]} of length n_steps, where
         result[s][0] is the token AFTER toks[s]."""
-        assert not self.recurrent or True  # recurrent supported (no cells)
         for s in toks:
             n = int(self.n_past[s])
             if not self.recurrent and \
@@ -951,12 +989,16 @@ class Engine:
         if stop_on_eos and eos in out:
             out = out[:out.index(eos)]
         # roll device/host state back to exactly the returned sequence: the
-        # scan ran a full bucket regardless of EOS/n_predict, so without this
-        # the KV holds post-EOS/over-run tokens a later save_session or
-        # continued decode would silently include. (The very last returned
-        # token's KV is pending — written on the next decode step — matching
-        # the host-loop generate() contract.) Skipped when already
-        # consistent — the common full-output case — to save a dispatch.
+        # scan ran a full bucket regardless of EOS/n_predict, so without
+        # this the KV holds post-EOS/over-run tokens a later save_session
+        # or continued decode would silently include.
+        # Post-call contract: the KV holds the first (n_past[slot] -
+        # start0) returned tokens — all of them after EOS/n_predict
+        # truncation, all but the final one when the output exactly
+        # filled the scan (its KV is written by the next step). To
+        # continue a slot, feed out[n_past[slot] - start0:] (zero or one
+        # tokens) through eval_tokens/decode_one; do NOT assume either
+        # case unconditionally.
         target = start0 + min(len(out), total_written)
         if target != int(self.n_past[slot]):
             self.rollback(slot, target)
@@ -988,7 +1030,7 @@ class Engine:
             tokens = list(prompt)
         sampling = sampling or SamplingParams()
         eos = self.tokenizer.vocab.eos_id if self.tokenizer else 2
-        nl = 13
+        nl = self.newline_id()
         gobj, pieces = None, None
         if grammar is not None:
             from tpulamm.grammar.engine import Grammar

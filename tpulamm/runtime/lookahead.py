@@ -84,13 +84,22 @@ def generate_lookahead(engine: Engine, prompt, *, n_predict: int = 128,
     pool = _NgramPool(N=N, G=G)
     stats = SpecStats()
     out: list[int] = []
+    # stream via an incremental UTF-8 decoder (byte tokens can split
+    # multi-byte sequences across steps — same as Engine.generate)
+    import codecs
+    sdec = codecs.getincrementaldecoder("utf-8")("replace")
+
+    def emit(tok):
+        if stream is not None and engine.tokenizer is not None:
+            piece = sdec.decode(engine.tokenizer.token_bytes(tok))
+            if piece:
+                stream(piece)
 
     while len(out) < n_predict:
         if stop_on_eos and cur == eos and not sampler.params.ignore_eos:
             break
         out.append(cur)
-        if stream is not None and engine.tokenizer is not None:
-            stream(engine.tokenizer.token_to_piece(cur))
+        emit(cur)
         if len(out) >= n_predict:
             break
 
@@ -190,8 +199,7 @@ def generate_lookahead(engine: Engine, prompt, *, n_predict: int = 128,
                 stop = True
                 break
             out.append(t)
-            if stream is not None and engine.tokenizer is not None:
-                stream(engine.tokenizer.token_to_piece(t))
+            emit(t)
             if len(out) >= n_predict:
                 break
         if stop:

@@ -42,26 +42,25 @@ def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
     v_st = np.stack([np.asarray(x) for x in cache.v]) \
         if cache.dtype != jnp.bfloat16 else \
         np.stack([np.asarray(x).view(np.uint16) for x in cache.v])
-    fh = open(path, "wb")
-    np.savez_compressed(
-        fh,
-        magic=np.array(MAGIC),
-        k=k_st,
-        k_dtype=np.array(str(cache.dtype)),
-        v=v_st,
-        pos=np.asarray(cache.pos),
-        seg=np.asarray(cache.seg),
-        n_past=engine.n_past,
-        cell_pos=engine.cell_pos,
-        ga_i=engine.ga_i,
-        tokens=np.asarray(tokens if tokens is not None else [], np.int32),
-        meta=np.array(json.dumps({
-            "n_ctx": engine.n_ctx, "n_slots": engine.n_slots,
-            "arch": engine.cfg.arch, "dim": engine.cfg.dim,
-            "n_layers": engine.cfg.n_layers,
-        })),
-    )
-    fh.close()
+    with open(path, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            magic=np.array(MAGIC),
+            k=k_st,
+            k_dtype=np.array(str(cache.dtype)),
+            v=v_st,
+            pos=np.asarray(cache.pos),
+            seg=np.asarray(cache.seg),
+            n_past=engine.n_past,
+            cell_pos=engine.cell_pos,
+            ga_i=engine.ga_i,
+            tokens=np.asarray(tokens if tokens is not None else [], np.int32),
+            meta=np.array(json.dumps({
+                "n_ctx": engine.n_ctx, "n_slots": engine.n_slots,
+                "arch": engine.cfg.arch, "dim": engine.cfg.dim,
+                "n_layers": engine.cfg.n_layers,
+            })),
+        )
 
 
 def load_session(path: str, engine) -> list[int]:

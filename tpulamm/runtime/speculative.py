@@ -43,10 +43,7 @@ def _mk_sampler(engine: Engine, sampling: SamplingParams | None,
                 grammar=None) -> Sampler:
     sampling = sampling or SamplingParams()
     eos = engine.tokenizer.vocab.eos_id if engine.tokenizer else 2
-    pieces = None
-    if grammar is not None:
-        pieces = [engine.tokenizer.token_bytes(t)
-                  for t in range(engine.cfg.vocab_size)]
+    pieces = engine.token_pieces() if grammar is not None else None
     return Sampler(sampling, engine.cfg.vocab_size, eos_id=eos,
                    grammar=grammar, token_pieces=pieces)
 
@@ -65,14 +62,24 @@ def _spec_loop(target: Engine, sampler: Sampler, first_logits: np.ndarray,
     keeps auxiliary state (draft engine / history) in sync."""
     stats = SpecStats()
     out: list[int] = []
+    # byte tokens may split multi-byte UTF-8 across steps: stream through
+    # an incremental decoder (same as Engine.generate)
+    import codecs
+    sdec = codecs.getincrementaldecoder("utf-8")("replace")
+
+    def emit(tok):
+        if stream is not None and target.tokenizer is not None:
+            piece = sdec.decode(target.tokenizer.token_bytes(tok))
+            if piece:
+                stream(piece)
+
     cur = sampler.sample(first_logits)
     sampler.accept(cur)
     while len(out) < n_predict:
         if stop_on_eos and cur == eos and not sampler.params.ignore_eos:
             break
         out.append(cur)
-        if stream is not None and target.tokenizer is not None:
-            stream(target.tokenizer.token_to_piece(cur))
+        emit(cur)
         if len(out) >= n_predict:
             break
         draft = propose(cur)
@@ -100,8 +107,7 @@ def _spec_loop(target: Engine, sampler: Sampler, first_logits: np.ndarray,
                 hit_eos = True       # accepted draft ended the sequence
                 break
             out.append(t)
-            if stream is not None and target.tokenizer is not None:
-                stream(target.tokenizer.token_to_piece(t))
+            emit(t)
         if hit_eos:
             break
         sampler.accept(nxt)

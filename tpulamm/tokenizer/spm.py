@@ -166,15 +166,19 @@ class SPMTokenizer:
         if not text:
             return out
         fragments = self._partition(text) if special else [("raw", text)]
-        first_raw = True
+        # llama.cpp b2430: the space prefix applies only when the VERY
+        # FIRST fragment is raw — a leading special token (chat templates)
+        # suppresses it
+        first = True
         for kind, frag in fragments:
             if kind == "tok":
                 out.append(frag)
+                first = False
                 continue
             raw = frag
-            if first_raw and self.vocab.add_space_prefix:
+            if first and self.vocab.add_space_prefix:
                 raw = " " + raw
-            first_raw = False
+            first = False
             self._spm_encode(raw.replace(" ", _SPACE_ESC), out)
         if self.vocab.add_eos and self.vocab.eos_id >= 0:
             out.append(self.vocab.eos_id)
