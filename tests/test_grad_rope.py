@@ -70,3 +70,41 @@ def test_rope_composition():
         ident = apply_rope(x, jnp.zeros_like(p1), rope)
         np.testing.assert_allclose(np.asarray(ident), np.asarray(x),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_yarn_matches_ggml_reference():
+    """rope_angles vs a direct scalar port of ggml.c rope_yarn
+    (:12737-12791): ramp compares the pair index against the corr dims
+    directly, corr dims clamped to [0, n_dims-1]."""
+    import math
+
+    n_rot, base = 128, 10000.0
+    p = RopeParams(n_rot=n_rot, kind="neox", freq_base=base,
+                   freq_scale=0.25, ext_factor=1.0, attn_factor=1.0,
+                   beta_fast=32.0, beta_slow=1.0, n_orig_ctx=4096)
+
+    def corr_dim(n_rot_beta):
+        return (n_rot * math.log(4096 / (n_rot_beta * 2 * math.pi))
+                / (2 * math.log(base)))
+
+    lo = max(0.0, math.floor(corr_dim(32.0)))
+    hi = min(n_rot - 1.0, math.ceil(corr_dim(1.0)))
+
+    pos = 777.0
+    want_cos, want_sin = [], []
+    mscale = 1.0 + 0.1 * math.log(1.0 / 0.25)
+    for i0 in range(0, n_rot, 2):
+        theta_extrap = pos * base ** (-i0 / n_rot)
+        y = (i0 / 2 - lo) / max(0.001, hi - lo)
+        ramp = (1 - min(1.0, max(0.0, y))) * 1.0     # * ext_factor
+        theta_interp = 0.25 * theta_extrap
+        theta = theta_interp * (1 - ramp) + theta_extrap * ramp
+        want_cos.append(math.cos(theta) * mscale)
+        want_sin.append(math.sin(theta) * mscale)
+
+    from tpulamm.ops.rope import rope_angles
+    cos, sin = rope_angles(p, jnp.asarray([pos], jnp.float32))
+    np.testing.assert_allclose(np.asarray(cos)[0], want_cos, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin)[0], want_sin, rtol=1e-4,
+                               atol=1e-5)

@@ -71,6 +71,11 @@ class GGUFTensorInfo:
 
     def as_rows(self) -> np.ndarray:
         """uint8 view shaped (n_rows, row_bytes); rows = all leading dims."""
+        if self.ggml_type not in GGML_TYPE_SIZES:
+            raise ValueError(
+                f"tensor {self.name}: quantization type "
+                f"{self.ggml_type!r} is not supported (supported: "
+                f"{sorted(t.name for t in GGML_TYPE_SIZES)})")
         k = self.shape[-1]
         bs, tb = GGML_TYPE_SIZES[self.ggml_type]
         rb = k // bs * tb
@@ -132,6 +137,13 @@ class GGUFReader:
         data_start = self._align(self._pos)
         self.data_offset = data_start
         for info in order:
+            if info.ggml_type not in GGML_TYPE_SIZES:
+                # valid GGUF type id we don't implement (K-quants beyond
+                # Q2_K, IQ*): keep the metadata readable (tokenizer/config
+                # tools), fail with a clear error only on data access
+                info.n_bytes = 0
+                info.data = None
+                continue
             bs, tb = GGML_TYPE_SIZES[info.ggml_type]
             if info.shape[-1] % bs != 0:
                 raise ValueError(f"tensor {info.name}: inner dim {info.shape[-1]}"

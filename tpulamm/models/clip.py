@@ -325,7 +325,8 @@ def _resize_and_pad(img: np.ndarray, target_hw: tuple[int, int],
     th, tw = target_hw
     h, w = img.shape[:2]
     scale = min(tw / w, th / h)
-    nh, nw = min(th, int(round(h * scale))), min(tw, int(round(w * scale)))
+    # clip.cpp truncates (no rounding) when scaling
+    nh, nw = min(th, int(h * scale)), min(tw, int(w * scale))
     resized = _bilinear_resize(img.astype(np.float32), nh, nw)
     bg = np.asarray([m * 255.0 for m in cfg.image_mean], np.float32)
     canvas = np.broadcast_to(bg, (th, tw, 3)).copy()
@@ -365,10 +366,10 @@ def _unpad_spatial(feat: np.ndarray, orig_hw: tuple[int, int]) -> np.ndarray:
     H, W, _ = feat.shape
     oh, ow = orig_hw
     if ow / oh > W / H:          # image wider than canvas aspect: rows padded
-        nh = max(1, int(round(oh * (W / ow))))
+        nh = max(1, int(oh * (W / ow)))    # llava.cpp truncates
         pad = (H - nh) // 2
         return feat[pad:H - pad]
-    nw = max(1, int(round(ow * (H / oh))))
+    nw = max(1, int(ow * (H / oh)))    # llava.cpp truncates
     pad = (W - nw) // 2
     return feat[:, pad:W - pad]
 

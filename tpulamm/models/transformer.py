@@ -88,12 +88,11 @@ def _norm(x: jnp.ndarray, p: Params, name: str, cfg: ModelConfig) -> jnp.ndarray
 
 
 def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    from tpulamm.ops.layers import gelu, silu
     if kind == "silu":
-        return x * jax.nn.sigmoid(x)
+        return silu(x)
     if kind == "gelu":
-        # ggml_gelu is tanh-approximated (ggml.c gelu table)
-        return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654
-                                         * (x + 0.044715 * x * x * x)))
+        return gelu(x)           # ggml_gelu: tanh-approximated
     if kind == "relu":
         return jnp.maximum(x, 0)
     if kind == "relu_sqr":

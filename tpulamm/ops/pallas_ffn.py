@@ -64,11 +64,11 @@ def _dequant_tile(qtype, plane_refs, kc, tn, k_total, kstep):
 
 
 def _act_fn(a, act):
+    from tpulamm.ops.layers import gelu, silu
     if act == "silu":
-        return a * jax.nn.sigmoid(a)
+        return silu(a)
     if act == "gelu":
-        return 0.5 * a * (1.0 + jnp.tanh(
-            0.7978845608028654 * (a + 0.044715 * a ** 3)))
+        return gelu(a)
     return jnp.maximum(a, 0.0)                           # relu
 
 

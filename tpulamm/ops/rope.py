@@ -58,7 +58,9 @@ def rope_angles(params: RopeParams, pos: jnp.ndarray) -> tuple:
         hi = math.ceil(_yarn_corr_dim(params.n_rot, params.n_orig_ctx,
                                       params.beta_slow, params.freq_base))
         lo, hi = max(lo, 0), min(hi, params.n_rot - 1)
-        ramp = _yarn_ramp(lo / 2.0, hi / 2.0, dim_i) * params.ext_factor
+        # rope_yarn_ramp compares i0/2 (the pair index, which dim_i
+        # already is) against the corr dims DIRECTLY (ggml.c:12737-12740)
+        ramp = _yarn_ramp(lo, hi, dim_i) * params.ext_factor
         theta_interp = params.freq_scale * theta_extrap
         theta = theta_interp * (1 - ramp) + theta_extrap * ramp
         mscale = mscale * (1.0 + 0.1 * math.log(1.0 / params.freq_scale))

@@ -460,9 +460,15 @@ QUANTIZERS = {
     GGMLType.Q8_K: quantize_q8_k,
 }
 
+def dequantize_bf16(raw: np.ndarray, k: int) -> np.ndarray:
+    u = (np.ascontiguousarray(raw).view("<u2").astype(np.uint32) << 16)
+    return u.view(np.float32).reshape(*raw.shape[:-1], k)
+
+
 DEQUANTIZERS = {
     GGMLType.F32: dequantize_f32,
     GGMLType.F16: dequantize_f16,
+    GGMLType.BF16: dequantize_bf16,
     GGMLType.Q4_0: dequantize_q4_0,
     GGMLType.Q4_1: dequantize_q4_1,
     GGMLType.Q5_0: dequantize_q5_0,
@@ -497,7 +503,11 @@ def dequantize(raw: np.ndarray, qtype: GGMLType, k: int) -> np.ndarray:
     out = native.dequantize(raw, qtype, k)
     if out is not None:
         return out
-    return DEQUANTIZERS[qtype](raw, k)
+    fn = DEQUANTIZERS.get(qtype)
+    if fn is None:
+        raise ValueError(f"unsupported tensor type {qtype!r} (supported: "
+                         f"{sorted(t.name for t in DEQUANTIZERS)})")
+    return fn(raw, k)
 
 
 def row_bytes(qtype: GGMLType, k: int) -> int:

@@ -27,7 +27,7 @@ def make_qx_quants(xb: np.ndarray, nmax: int, w: np.ndarray
     idx = np.abs(xb).argmax(axis=-1)
     mx = np.take_along_axis(xb, idx[..., None], axis=-1)[..., 0]  # signed
 
-    zero = amax < 1e-30
+    zero = amax == 0.0   # reference: exact !amax test
     mx_safe = np.where(zero, 1.0, mx)
 
     # candidate order: is=0 first, then -9..-1, 1..9 (strict improvement)
@@ -45,7 +45,9 @@ def make_qx_quants(xb: np.ndarray, nmax: int, w: np.ndarray
     levels = np.take_along_axis(
         l, best[..., None, None].repeat(QK, -1), axis=-2)[..., 0, :]
     scale = np.where(zero, 0.0, scale).astype(np.float32)
-    levels = np.where(zero[..., None], -0.0, levels) + nmax
+    # all-zero blocks encode as L = 0 (reference memsets L), i.e. the
+    # stored level is -nmax before the +nmax bias
+    levels = np.where(zero[..., None], -float(nmax), levels) + nmax
     return scale, levels.astype(np.uint8)
 
 
