@@ -236,3 +236,49 @@ def test_n_probs_and_openai_logprobs(server):
     assert len(lp["tokens"]) == 3
     assert len(lp["top_logprobs"][0]) == 2
     assert all(v <= 0.0 for v in lp["token_logprobs"])
+
+
+def test_malformed_grammar_fails_request_not_server(server):
+    """A bad request must 400 and leave the scheduler alive for others
+    (it used to kill the scheduler thread and hang every client)."""
+    try:
+        st, body = _post(server, "/completion",
+                         {"prompt": "hi", "n_predict": 2,
+                          "grammar": "root = "})
+    except urllib.error.HTTPError as e:
+        st, body = e.code, e.read()
+    assert st == 400
+    assert "error" in json.loads(body)
+    # the server still serves the next request
+    st, body = _post(server, "/completion",
+                     {"prompt": "the cat", "n_predict": 4,
+                      "temperature": 0.0})
+    assert st == 200 and json.loads(body)["tokens_predicted"] > 0
+
+
+def test_stop_param_and_infinite_n_predict(server):
+    st, body = _post(server, "/completion",
+                     {"prompt": "the cat", "n_predict": 6,
+                      "temperature": 0.0, "stop": ["\x00never"]})
+    assert st == 200 and json.loads(body)["tokens_predicted"] > 0
+    # n_predict -1 = until eos/stop; bounded here via a stop string that
+    # matches anything the random model emits quickly is not reliable —
+    # instead cancel it
+    rid = "inf-1"
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(lambda: _post(server, "/completion",
+                                      {"prompt": "the", "n_predict": -1,
+                                       "temperature": 0.0, "rid": rid},
+                                      timeout=300))
+        import time
+        for _ in range(600):
+            try:
+                st2, b2 = _post(server, "/cancel", {"rid": rid})
+                if json.loads(b2).get("cancelled"):
+                    break
+            except urllib.error.HTTPError:
+                pass
+            time.sleep(0.1)
+        st3, _ = fut.result(timeout=120)
+    assert st3 == 200

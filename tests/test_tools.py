@@ -237,3 +237,11 @@ def test_fetch_weights_offline_and_urls():
     with _pytest.raises(SystemExit, match="cannot reach"):
         download("https://invalid.invalid/x.gguf",
                  "tmp_verify/nope.gguf", quiet=True)
+
+
+def test_process_escapes_utf8_safe():
+    from tpulamm.cli.main import _process_escapes
+    assert _process_escapes("a\\nb\\tc") == "a\nb\tc"
+    assert _process_escapes("café 日本\\n") == "café 日本\n"
+    assert _process_escapes("\\x41\\x00") == "A\x00"
+    assert _process_escapes("trailing\\") == "trailing\\"

@@ -41,8 +41,18 @@ def main(argv=None):
     logits = eng.prefill(0, toks)
     for s in range(1, args.n_parallel):
         eng.seq_cp(0, s)                  # fork the prompt KV to every slot
-    first = int(np.argmax(logits))
-    cur = {s: first for s in range(args.n_parallel)}
+    # sample each stream's first token independently from the prompt
+    # logits (batched.cpp samples per sequence; argmax would seed every
+    # stream with the same deterministic token even at temp > 0)
+    rng = np.random.default_rng(args.seed)
+    def first_tok():
+        if args.temp <= 0:
+            return int(np.argmax(logits))
+        lg = logits.astype(np.float64) / max(args.temp, 1e-6)
+        p = np.exp(lg - lg.max())
+        p /= p.sum()
+        return int(rng.choice(len(p), p=p))
+    cur = {s: first_tok() for s in range(args.n_parallel)}
     outs = eng.decode_batch_fast(cur, args.n_predict - 1,
                                  temp=args.temp, seed=args.seed)
     dt = time.perf_counter() - t0

@@ -50,17 +50,8 @@ def main(argv=None):
     assert cfg.arch == "llama", "finetune supports llama-arch bases"
 
     # densify the base for the differentiable forward
-    def densify(v):
-        if isinstance(v, QTensor):
-            if v.layout == "rows":
-                from tpulamm.ops.qtensor import gather_dequant_rows
-                return gather_dequant_rows(
-                    v, jnp.arange(v.shape[0]), jnp.float32)
-            return dequant_mm(v, jnp.float32).T
-        return v
-    dense = {k: densify(v) for k, v in params.items() if k != "layers"}
-    dense["layers"] = [{k: densify(v) for k, v in layer.items()}
-                       for layer in params["layers"]]
+    from tpulamm.tools.imatrix import densify_params
+    dense = densify_params(params)
 
     with open(args.train_data) as f:
         data = np.asarray(tokenizer.encode(f.read(), add_bos=False), np.int32)

@@ -95,6 +95,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _process_escapes(s: str) -> str:
+    """Exact port of common.cpp process_escapes: handles \\n \\r \\t
+    \\' \\" \\\\ and \\xHH byte escapes, character-wise — no
+    encoding round-trips, so non-ASCII text passes through untouched."""
+    out: list[str] = []
+    mapping = {"n": "\n", "r": "\r", "t": "\t", "'": "'",
+               '"': '"', "\\": "\\"}
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in mapping:
+                out.append(mapping[nxt])
+                i += 2
+                continue
+            if nxt == "x" and i + 3 < len(s):
+                try:
+                    out.append(chr(int(s[i + 2:i + 4], 16)))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from tpulamm.cli._common import require_file
@@ -108,12 +136,7 @@ def main(argv=None):
         with open(args.file) as f:
             prompt = f.read()
     if args.escape:
-        # process_escapes (common.cpp) semantics; the latin-1 round-trip
-        # keeps multibyte UTF-8 intact (a bare unicode_escape would
-        # reinterpret UTF-8 bytes as Latin-1 and mojibake the prompt)
-        prompt = (prompt.encode("latin-1", "backslashreplace")
-                  .decode("unicode_escape")
-                  .encode("latin-1", "replace").decode("utf-8", "replace"))
+        prompt = _process_escapes(prompt)
 
     import jax.numpy as jnp
 
@@ -179,7 +202,7 @@ def main(argv=None):
         if args.prompt_cache and engine.tokenizer is not None:
             import os
             from tpulamm.runtime.session import load_session, save_session
-            all_tokens = engine.tokenizer.encode(text, special=True)
+            all_tokens = ptoks          # already tokenized above
             if os.path.exists(args.prompt_cache):
                 saved = load_session(args.prompt_cache, engine)
                 n = 0

@@ -37,6 +37,7 @@ class Request:
     stream: bool
     embed: bool = False          # embedding request (pooled hidden states)
     grammar: str | None = None   # GBNF constraint (server "grammar" param)
+    stop_strs: list = field(default_factory=list)  # server.cpp "stop" 
     out: "queue.Queue" = field(default_factory=queue.Queue)
     rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
     # set to cancel mid-generation (client disconnect or POST /cancel);
@@ -52,6 +53,7 @@ class SlotState:
     n_gen: int = 0
     prompt_len: int = 0
     t_start: float = 0.0
+    text_tail: str = ""          # rolling tail for stop-sequence matching
 
 
 class Metrics:
@@ -133,6 +135,11 @@ class Scheduler(threading.Thread):
             if slot.req is not None and slot.req.cancel.is_set():
                 self._finish_slot(i, "cancelled")
 
+    def _fail_request(self, req: Request, msg: str):
+        self.requests.pop(req.rid, None)
+        req.out.put(("error", msg, {"prompt_tokens": 0,
+                                    "completion_tokens": 0, "t_total": 0.0}))
+
     def _assign(self):
         for i, slot in enumerate(self.slots):
             if slot.req is not None:
@@ -143,46 +150,70 @@ class Scheduler(threading.Thread):
                 return
             with self.metrics.lock:
                 self.metrics.queue_depth -= 1
-            if req.cancel.is_set():        # cancelled while queued
-                self.requests.pop(req.rid, None)
-                req.out.put(("done", "cancelled",
-                             {"prompt_tokens": 0, "completion_tokens": 0,
-                              "t_total": 0.0}))
-                continue
-            eng = self.engine
-            if req.embed:
-                # embeddings run to completion on the slot, then free it
-                vec = eng.embed(req.prompt, slot=i)
-                eng.reset_slot(i)
-                self.requests.pop(req.rid, None)
-                req.out.put(("embedding", vec.tolist(), None))
-                continue
-            if isinstance(req.prompt, str):
-                tokens = eng.tokenizer.encode(req.prompt, special=True)
-            else:
-                tokens = list(req.prompt)
-            tokens = tokens[-(eng.n_ctx - req.n_predict - 1):] \
-                if len(tokens) >= eng.n_ctx else tokens
+            try:
+                self._assign_one(i, req)
+            except Exception as e:  # noqa: BLE001 — a bad request (e.g.
+                # malformed grammar) must fail ITSELF, not kill the
+                # scheduler thread and hang every other client
+                self._fail_request(req, f"{type(e).__name__}: {e}")
+                self.engine.reset_slot(i)
+                slot = self.slots[i]
+                slot.req = None
+                slot.sampler = None
+                slot.next_tok = None
+
+    def _assign_one(self, i: int, req: Request):
+        slot = self.slots[i]
+        if req.cancel.is_set():        # cancelled while queued
+            self.requests.pop(req.rid, None)
+            req.out.put(("done", "cancelled",
+                         {"prompt_tokens": 0, "completion_tokens": 0,
+                          "t_total": 0.0}))
+            return
+        eng = self.engine
+        if req.embed:
+            # embeddings run to completion on the slot, then free it.
+            # NOTE: this blocks the scheduler loop for the duration (a
+            # long embed stalls concurrent decode steps) — acceptable at
+            # current scale; a dedicated embed lane is future work.
+            vec = eng.embed(req.prompt, slot=i)
             eng.reset_slot(i)
-            eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
-            grammar = pieces = None
-            if getattr(req, "grammar", None):
-                from tpulamm.grammar.engine import Grammar
-                grammar = Grammar.from_gbnf(req.grammar)
-                pieces = eng.token_pieces()
-            sampler = Sampler(req.params, eng.cfg.vocab_size, eos_id=eos,
-                              grammar=grammar, token_pieces=pieces)
-            for t in tokens:
-                sampler.accept(t, apply_grammar=False)
-            slot.req = req
-            slot.sampler = sampler
-            slot.n_gen = 0
-            slot.prompt_len = len(tokens)
-            slot.t_start = time.perf_counter()
-            logits = eng.prefill(i, tokens)
-            with self.metrics.lock:
-                self.metrics.prompt_tokens += len(tokens)
-            self._sample_and_emit(i, logits)
+            self.requests.pop(req.rid, None)
+            req.out.put(("embedding", vec.tolist(), None))
+            return
+        if isinstance(req.prompt, str):
+            tokens = eng.tokenizer.encode(req.prompt, special=True)
+        else:
+            tokens = list(req.prompt)
+        # keep room for generation (the old -(n_ctx-n_predict-1) slice
+        # degenerated to "keep everything" when n_predict >= n_ctx-1);
+        # over-long generations are handled by context shift at decode
+        keep = eng.n_ctx - max(req.n_predict, 0) - 1
+        if keep <= 0:
+            keep = eng.n_ctx - 2
+        if len(tokens) > keep:
+            tokens = tokens[-keep:]
+        eng.reset_slot(i)
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        grammar = pieces = None
+        if getattr(req, "grammar", None):
+            from tpulamm.grammar.engine import Grammar
+            grammar = Grammar.from_gbnf(req.grammar)
+            pieces = eng.token_pieces()
+        sampler = Sampler(req.params, eng.cfg.vocab_size, eos_id=eos,
+                          grammar=grammar, token_pieces=pieces)
+        for t in tokens:
+            sampler.accept(t, apply_grammar=False)
+        slot.req = req
+        slot.sampler = sampler
+        slot.n_gen = 0
+        slot.prompt_len = len(tokens)
+        slot.text_tail = ""
+        slot.t_start = time.perf_counter()
+        logits = eng.prefill(i, tokens)
+        with self.metrics.lock:
+            self.metrics.prompt_tokens += len(tokens)
+        self._sample_and_emit(i, logits)
 
     def _top_probs(self, logits: np.ndarray, n: int, sampled: int) -> dict:
         """Top-n token probabilities + the sampled token's probability
@@ -206,6 +237,21 @@ class Scheduler(threading.Thread):
         if not stop:
             slot.n_gen += 1
             piece = eng.tokenizer.token_to_piece(tok) if eng.tokenizer else ""
+            # stop sequences (server.cpp "stop"): match against the
+            # rolling tail, trim the match from the emitted text
+            if slot.req.stop_strs:
+                cand = slot.text_tail + piece
+                hit = next((sp for sp in slot.req.stop_strs
+                            if sp and sp in cand), None)
+                if hit is not None:
+                    keep = cand.index(hit) - len(slot.text_tail)
+                    if keep > 0:
+                        slot.req.out.put(("tok", tok, piece[:keep], None))
+                        with self.metrics.lock:
+                            self.metrics.generated_tokens += 1
+                    self._finish_slot(i, "stop")
+                    return
+                slot.text_tail = cand[-64:]
             probs = (self._top_probs(logits, slot.req.params.n_probs, tok)
                      if slot.req.params.n_probs else None)
             slot.req.out.put(("tok", tok, piece, probs))
@@ -303,6 +349,7 @@ class Scheduler(threading.Thread):
             # a grammar-constrained request must take the host loop)
             if (self.pending.empty()
                     and all(self.slots[i].sampler.grammar is None
+                            and not self.slots[i].req.stop_strs
                             and self._fast_eligible(self.slots[i].req.params)
                             for i in active)
                     # the scan samples with ONE top_k: stochastic requests
@@ -377,12 +424,25 @@ def make_handler(sched: Scheduler, model_name: str):
             # n_probs (native) / logprobs (OpenAI int form)
             n_probs = int(body.get("n_probs", 0)
                           or (body.get("logprobs") or 0))
+            bias = {int(k): float(v)
+                    for k, v in (body.get("logit_bias") or {}).items()} \
+                if isinstance(body.get("logit_bias"), dict) else {}
             return SamplingParams(
                 temp=float(body.get("temperature", 0.8)),
                 top_k=int(body.get("top_k", 40)),
                 top_p=float(body.get("top_p", 0.95)),
                 min_p=float(body.get("min_p", 0.05)),
+                tfs_z=float(body.get("tfs_z", 1.0)),
+                typical_p=float(body.get("typical_p", 1.0)),
                 penalty_repeat=float(body.get("repeat_penalty", 1.1)),
+                penalty_last_n=int(body.get("repeat_last_n", 64)),
+                penalty_freq=float(body.get("frequency_penalty", 0.0)),
+                penalty_present=float(body.get("presence_penalty", 0.0)),
+                mirostat=int(body.get("mirostat", 0)),
+                mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+                mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+                ignore_eos=bool(body.get("ignore_eos", False)),
+                logit_bias=bias,
                 seed=int(body.get("seed", 0xFFFFFFFF)),
                 n_probs=n_probs,
             )
@@ -390,10 +450,18 @@ def make_handler(sched: Scheduler, model_name: str):
         def _run_request(self, prompt, body, kind: str):
             n_predict = int(body.get("n_predict",
                                      body.get("max_tokens", 128)))
+            if n_predict < 0:
+                # server.cpp: -1 = generate until EOS/stop (context
+                # shift keeps the window bounded)
+                n_predict = 1 << 30
             stream = bool(body.get("stream", False))
+            stop = body.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
             req = Request(prompt=prompt, params=self._params_from(body),
                           n_predict=n_predict, stream=stream,
-                          grammar=body.get("grammar"))
+                          grammar=body.get("grammar"),
+                          stop_strs=[str(x) for x in stop])
             if body.get("rid"):
                 req.rid = str(body["rid"])   # client-chosen id -> /cancel
             sched.submit(req)
@@ -414,6 +482,15 @@ def make_handler(sched: Scheduler, model_name: str):
                 while True:
                     item = req.out.get()
                     try:
+                        if item[0] == "error":
+                            send_chunk(self._stream_obj(kind, "",
+                                                        "error"))
+                            data = b"data: [DONE]\n\n"
+                            self.wfile.write(
+                                f"{len(data):x}\r\n".encode() + data
+                                + b"\r\n")
+                            self.wfile.write(b"0\r\n\r\n")
+                            break
                         if item[0] == "tok":
                             text += item[2]
                             probs = item[3] if len(item) > 3 else None
@@ -440,6 +517,9 @@ def make_handler(sched: Scheduler, model_name: str):
             probs_acc = []
             while True:
                 item = req.out.get()
+                if item[0] == "error":
+                    self._json(400, {"error": item[1]})
+                    return
                 if item[0] == "tok":
                     text += item[2]
                     if len(item) > 3 and item[3] is not None:

@@ -697,6 +697,22 @@ def vocab_from_hf(tok) -> dict:
                 ttype.append(5)
             else:
                 ttype.append(1)
+        # HF added_tokens beyond the sp_model (chat specials, resized
+        # vocabs): the reference converter appends them after the SPM
+        # pieces (convert-hf-to-gguf.py _set_vocab_sentencepiece)
+        added = getattr(tok, "added_tokens_decoder", None) or {}
+        for tid in sorted(int(k) for k in added):
+            if tid < len(tokens):
+                continue
+            while len(tokens) < tid:       # pad any id gaps
+                tokens.append(f"<unused_{len(tokens)}>")
+                scores.append(-1000.0)
+                ttype.append(5)
+            at = added[tid]
+            tokens.append(str(getattr(at, "content", at)))
+            scores.append(0.0)
+            special = bool(getattr(at, "special", True))
+            ttype.append(3 if special else 4)   # CONTROL / USER_DEFINED
         out = dict(model="llama", tokens=tokens, scores=scores,
                    token_type=ttype)
     else:
