@@ -282,3 +282,22 @@ def test_stop_param_and_infinite_n_predict(server):
             time.sleep(0.1)
         st3, _ = fut.result(timeout=120)
     assert st3 == 200
+
+
+def test_stop_sequence_cross_piece_trim(server):
+    """A stop string spanning token-piece boundaries must be held back,
+    matched, and trimmed (server.cpp holdback semantics)."""
+    st, body = _post(server, "/completion",
+                     {"prompt": "the cat", "n_predict": 10,
+                      "temperature": 0.0})
+    full = json.loads(body)["content"]
+    if len(full) < 6:
+        pytest.skip("model output too short to build a spanning stop")
+    # pick a mid-output substring as the stop sequence
+    stop = full[2:6]
+    st, body = _post(server, "/completion",
+                     {"prompt": "the cat", "n_predict": 10,
+                      "temperature": 0.0, "stop": [stop]})
+    obj = json.loads(body)
+    assert obj["content"] == full[:2], (obj["content"], full, stop)
+    assert stop not in obj["content"]

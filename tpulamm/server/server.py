@@ -116,8 +116,17 @@ class Scheduler(threading.Thread):
         req.cancel.set()
         return True
 
+    def _flush_held(self, i: int):
+        slot = self.slots[i]
+        if getattr(slot, "text_tail", ""):
+            slot.req.out.put(("tok", -1, slot.text_tail, None))
+            slot.text_tail = ""
+
     def _finish_slot(self, i: int, reason: str):
         slot = self.slots[i]
+        # flush any held (potential-stop-prefix) text; a stop-sequence
+        # match clears text_tail before calling, so nothing leaks there
+        self._flush_held(i)
         slot.req.out.put((
             "done", reason,
             {"prompt_tokens": slot.prompt_len,
@@ -237,21 +246,43 @@ class Scheduler(threading.Thread):
         if not stop:
             slot.n_gen += 1
             piece = eng.tokenizer.token_to_piece(tok) if eng.tokenizer else ""
-            # stop sequences (server.cpp "stop"): match against the
-            # rolling tail, trim the match from the emitted text
+            # stop sequences (server.cpp "stop"): text that could still
+            # become a stop match is HELD BACK (text_tail) so partial
+            # matches never reach the client; on a full match the match
+            # is trimmed, on any other finish the held text flushes
             if slot.req.stop_strs:
                 cand = slot.text_tail + piece
-                hit = next((sp for sp in slot.req.stop_strs
-                            if sp and sp in cand), None)
-                if hit is not None:
-                    keep = cand.index(hit) - len(slot.text_tail)
-                    if keep > 0:
-                        slot.req.out.put(("tok", tok, piece[:keep], None))
+                hit_pos = min((cand.index(sp) for sp in slot.req.stop_strs
+                               if sp and sp in cand), default=-1)
+                if hit_pos >= 0:
+                    if hit_pos > 0:
+                        slot.req.out.put(("tok", tok, cand[:hit_pos],
+                                          None))
                         with self.metrics.lock:
                             self.metrics.generated_tokens += 1
+                    slot.text_tail = ""
                     self._finish_slot(i, "stop")
                     return
-                slot.text_tail = cand[-64:]
+                # longest suffix of cand that is a proper prefix of any
+                # stop string stays held
+                hold = 0
+                for sp in slot.req.stop_strs:
+                    for k in range(min(len(sp) - 1, len(cand)), hold, -1):
+                        if cand.endswith(sp[:k]):
+                            hold = k
+                            break
+                emit_text = cand[:len(cand) - hold] if hold else cand
+                slot.text_tail = cand[len(cand) - hold:] if hold else ""
+                if emit_text:
+                    slot.req.out.put(("tok", tok, emit_text, None))
+                    with self.metrics.lock:
+                        self.metrics.generated_tokens += 1
+                if slot.n_gen >= slot.req.n_predict:
+                    self._flush_held(i)
+                    self._finish_slot(i, "length")
+                    return
+                slot.next_tok = tok
+                return
             probs = (self._top_probs(logits, slot.req.params.n_probs, tok)
                      if slot.req.params.n_probs else None)
             slot.req.out.put(("tok", tok, piece, probs))
