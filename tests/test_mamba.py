@@ -107,3 +107,17 @@ def test_mamba_engine_generate(mamba_gguf, tmp_path):
                            sampling=SamplingParams(temp=0.0),
                            stop_on_eos=False)
     assert ids == ids2
+
+
+def test_mamba_embeddings(mamba_gguf):
+    """llama_get_embeddings works for recurrent models too: the headless
+    forward returns final hidden states and Engine.embed pools them."""
+    from tpulamm.runtime.engine import Engine
+    path, _ = mamba_gguf
+    eng = Engine(path, n_ctx=64)
+    v = eng.embed([3, 10, 20, 30], pooling="mean")
+    assert v.shape == (eng.cfg.dim,)
+    assert np.isfinite(v).all()
+    v2 = eng.embed([3, 10, 20, 30], pooling="last")
+    assert v2.shape == (eng.cfg.dim,)
+    assert not np.allclose(v, v2)

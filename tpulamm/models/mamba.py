@@ -165,6 +165,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     ssm = state.ssm.at[:, slots].set(jnp.stack(new_ssm))
 
     h = _norm(h, params, "out_norm", cfg)
+    if params.get("output") is None:
+        # headless: final hidden states (llama_get_embeddings path)
+        return h.astype(jnp.float32), MambaState(conv=conv, ssm=ssm)
     logits = _proj(h.astype(cfg.cdtype), params["output"], cfg)
     if logits.shape[-1] != cfg.vocab_size:
         logits = logits[..., : cfg.vocab_size]   # tile-padded head

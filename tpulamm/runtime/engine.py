@@ -488,9 +488,6 @@ class Engine:
             tokens = self.tokenizer.encode(tokens_or_text, special=True)
         else:
             tokens = list(tokens_or_text)
-        if self.recurrent:
-            raise NotImplementedError("embeddings for recurrent (mamba) "
-                                      "models are not supported")
         if pooling is None:
             pooling = self.cfg.pooling if self.cfg.pooling != "none" else "last"
         if not self.cfg.causal and len(tokens) > self.n_ubatch:
@@ -501,12 +498,13 @@ class Engine:
                 f"n_ubatch={self.n_ubatch}; raise n_ubatch/n_ctx")
         if not hasattr(self, "_embed_step"):
             cfg = self.cfg_step
+            model_forward = self._model_forward   # mamba uses its own
             params_nh = {k: v for k, v in self.params.items()
                          if k not in ("output", "output_b")}
 
             def estep(params, toks, positions, cache, slots, cells):
-                return forward(params, cfg, toks, positions, cache, slots,
-                               cells)
+                return model_forward(params, cfg, toks, positions, cache,
+                                     slots, cells)
             if self.mesh is None:
                 self._embed_step = jax.jit(estep, donate_argnums=(3,))
             else:
