@@ -100,6 +100,10 @@ def main(argv=None):
     p.add_argument("-pl", "--n-parallel", type=int, action="append",
                    default=[], help="parallel sequences (batched mode)")
     p.add_argument("--compute-dtype", default=None)
+    p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
+                   choices=["float32", "bfloat16", "float16", "q8_0"])
+    p.add_argument("-ctv", "--cache-type-v", default=None,
+                   choices=["float32", "bfloat16", "float16", "q8_0"])
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel shards over the device mesh")
     p.add_argument("--dp", type=int, default=1,
@@ -123,6 +127,8 @@ def main(argv=None):
     if args.batched:
         engine = Engine(args.model, n_ctx=args.ctx_size,
                         n_slots=max(pls), compute_dtype=args.compute_dtype,
+                        kv_dtype=args.cache_type_k,
+                        kv_dtype_v=args.cache_type_v,
                         tp=args.tp, dp=args.dp)
         rows = [_batched_bench(engine, pp, tg, pl)
                 for pp in pps for tg in tgs for pl in pls]
@@ -160,6 +166,7 @@ def main(argv=None):
 
     engine = Engine(args.model, n_ctx=args.ctx_size,
                     compute_dtype=args.compute_dtype,
+                    kv_dtype=args.cache_type_k, kv_dtype_v=args.cache_type_v,
                     tp=args.tp, dp=args.dp)
     rows = []
     for n_pp in pps:

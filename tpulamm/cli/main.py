@@ -55,8 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override a GGUF metadata value "
                         "(e.g. llama.rope.freq_base=float:1000000)")
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
-                   choices=["float32", "bfloat16", "float16"],
-                   help="KV cache storage dtype")
+                   choices=["float32", "bfloat16", "float16", "q8_0"],
+                   help="K cache storage type (q8_0 = int8 + row scales)")
+    p.add_argument("-ctv", "--cache-type-v", default=None,
+                   choices=["float32", "bfloat16", "float16", "q8_0"],
+                   help="V cache storage type (default: same as -ctk)")
     p.add_argument("--prompt-cache", default=None,
                    help="session file: reuse cached KV for a matching "
                         "prompt prefix (main.cpp:600-620)")
@@ -138,14 +141,13 @@ def main(argv=None):
     if args.escape:
         prompt = _process_escapes(prompt)
 
-    import jax.numpy as jnp
-
     from tpulamm.models.loader import parse_kv_override
     overrides = dict(parse_kv_override(s) for s in args.override_kv) or None
     engine = Engine(args.model, n_ctx=args.ctx_size, n_ubatch=args.batch_size,
                     n_slots=2 if args.cfg_negative_prompt else 1,
                     compute_dtype=args.compute_dtype,
-                    kv_dtype=jnp.dtype(args.cache_type_k),
+                    kv_dtype=args.cache_type_k,
+                    kv_dtype_v=args.cache_type_v,
                     grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w,
                     lora_path=args.lora, kv_overrides=overrides,
                     tp=args.tp, dp=args.dp)

@@ -189,8 +189,13 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     S_cache = cache.k[layer_idx].shape[2]
     auto = jax.default_backend() == "tpu" and (
         (T >= 64 and S_cache >= 1024) or S_cache >= 6144)
+    # quantized (q8_0) caches use the einsum path: the per-row scales fold
+    # into the score/prob tensors for free there, while the flash kernel
+    # would need an in-kernel dequant variant (the reference likewise only
+    # allows quantized KV together with its FA path, arg parity inverted)
     use_flash = (segs is None and cfg.max_alibi_bias == 0.0
                  and hd in (64, 128, 256)
+                 and not cache.quantized
                  and (cfg.flash_attn if cfg.flash_attn is not None
                       else auto))
     if use_flash:
@@ -220,9 +225,18 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     on_tpu = jax.default_backend() == "tpu"
     qk_dt = (kc.dtype if (on_tpu and kc.dtype == jnp.bfloat16)
              else jnp.float32)
+    if cache.ks is not None:
+        # q8_0 K: dot the int8 codes (converted in the dot operand stream —
+        # HBM still reads 1 byte/elem), then fold the per-(b,h,s) row scale
+        # into the score plane: (q . k_i8) * ks == q . k_dequant
+        qk_dt = jnp.float32
     scores = jnp.einsum("bthgd,bhsd->bhgts", qg.astype(qk_dt),
                         kc.astype(qk_dt),
                         preferred_element_type=jnp.float32)
+    if cache.ks is not None:
+        ksc = cache.ks[layer_idx] if slots is None \
+            else cache.ks[layer_idx][slots]                # (B, Hkv, S)
+        scores = scores * ksc[:, :, None, None, :]
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(hd)))
 
     kpos = cache.pos if slots is None else cache.pos[slots]   # (B, S)
@@ -260,6 +274,14 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     probs = masked_softmax(scores, mask)
     pv_dt = (vc.dtype if (on_tpu and vc.dtype == jnp.bfloat16)
              else jnp.float32)
+    if cache.vs is not None:
+        # q8_0 V: scale is per key row and s is the contracted axis, so it
+        # folds into probs (tiny (B,H,G,T,S) tensor) instead of dequantizing
+        # the full cache: (probs * vs) . v_i8 == probs . v_dequant
+        vsc = cache.vs[layer_idx] if slots is None \
+            else cache.vs[layer_idx][slots]                # (B, Hkv, S)
+        probs = probs * vsc[:, :, None, None, :]
+        pv_dt = jnp.float32
     out = jnp.einsum("bhgts,bhsd->bthgd", probs.astype(pv_dt),
                      vc.astype(pv_dt), preferred_element_type=jnp.float32)
     out = out.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)

@@ -171,8 +171,11 @@ def cache_pspecs(cache, mesh: Mesh, dp_axis: str | None = "dp",
         dp_ax = dp_axis if (dp_axis and b % mesh.shape[dp_axis] == 0) else None
         tp_ax = tp_axis if (tp_axis and h % mesh.shape[tp_axis] == 0) else None
         kv = P(dp_ax, tp_ax, None, None)
+        sc = P(dp_ax, tp_ax, None)      # q8_0 scale planes (B, H, S)
         return KVCache(k=[kv] * len(cache.k), v=[kv] * len(cache.v),
-                       pos=P(dp_ax, None), seg=P(dp_ax, None))
+                       pos=P(dp_ax, None), seg=P(dp_ax, None),
+                       ks=None if cache.ks is None else [sc] * len(cache.ks),
+                       vs=None if cache.vs is None else [sc] * len(cache.vs))
     # recurrent (mamba) state (L, B, ...): batch on dp only
     b = cache.conv.shape[1]
     dp_ax = dp_axis if (dp_axis and b % mesh.shape[dp_axis] == 0) else None

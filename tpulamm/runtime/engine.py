@@ -77,6 +77,7 @@ class Engine:
     def __init__(self, model_path: str, *, n_ctx: int = 2048,
                  n_slots: int = 1, n_ubatch: int = 512,
                  compute_dtype: str | None = None, kv_dtype=jnp.bfloat16,
+                 kv_dtype_v=None,
                  grp_attn_n: int = 1, grp_attn_w: int = 512,
                  lora_path: str | None = None, kv_overrides=None,
                  tp: int = 1, dp: int = 1, flash_attn: bool | None = None,
@@ -117,10 +118,24 @@ class Engine:
             self.cache = MambaState.create(self.cfg, n_slots)
         else:
             # cell n_ctx is a trash cell: ubatch padding rows write their K/V
-            # there (with position -1) so they never clobber live cells
+            # there (with position -1) so they never clobber live cells.
+            # kv_dtype/kv_dtype_v mirror the reference's cache_type_k/v
+            # (-ctk/-ctv): a float dtype, or "q8_0" for int8 + row scales.
+            if kv_dtype_v is None:
+                kv_dtype_v = kv_dtype
+
+            def _kvt(t):
+                if isinstance(t, str) and t in ("q8_0", "q8"):
+                    return None, "q8_0"
+                return jnp.dtype(t), None
+            kd, qk = _kvt(kv_dtype)
+            vd, qv = _kvt(kv_dtype_v)
             self.cache = KVCache.create(self.cfg.n_layers, n_slots, n_ctx + 1,
                                         self.cfg.n_kv_heads,
-                                        self.cfg.head_dim, dtype=kv_dtype)
+                                        self.cfg.head_dim,
+                                        dtype=kd or jnp.bfloat16,
+                                        dtype_v=vd or jnp.bfloat16,
+                                        qtype_k=qk, qtype_v=qv)
         # host-side per-slot state (reference: llama_kv_cache cells/head);
         # cell_pos mirrors the device-side cache.pos so cell allocation
         # (llama_kv_cache_find_slot, llama.cpp:2207) never needs a device sync

@@ -49,33 +49,64 @@ class KVCache:
     #                         0 = main sequence (visible to every query).
     #                         Non-zero segments implement the reference's
     #                         multi-seq_id batch masks (lookahead decoding).
+    # Quantized caches (the reference's cache_type_k/v = q8_0,
+    # llama.cpp:1841 type_k/type_v + common.cpp kv_cache_type_from_str):
+    # k/v hold int8 codes and ks/vs hold per-(b, h, s)-row f32 scales
+    # (one scale per head_dim row — coarser than ggml's 32-elem q8_0
+    # blocks, but the row is only 64-256 wide and the scale plane stays
+    # a cheap (B, H, S) tensor the attention einsums fold in for free).
+    # None = that tensor is a float cache.
+    ks: list | None = None  # L x (B, H_kv, S) f32 per-row K scales
+    vs: list | None = None  # L x (B, H_kv, S) f32 per-row V scales
 
     def __post_init__(self):
         if self.seg is None:
             self.seg = jnp.zeros_like(self.pos)
 
     def tree_flatten(self):
-        return (tuple(self.k), tuple(self.v), self.pos, self.seg), None
+        ks = tuple(self.ks) if self.ks is not None else None
+        vs = tuple(self.vs) if self.vs is not None else None
+        return (tuple(self.k), tuple(self.v), self.pos, self.seg,
+                ks, vs), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         # no validation/normalization here: transforms (shard_map, jit)
         # unflatten with placeholder children (None, tracers, specs)
-        k, v, pos, seg = children
+        k, v, pos, seg, ks, vs = children
         obj = object.__new__(cls)
         obj.k, obj.v, obj.pos, obj.seg = list(k), list(v), pos, seg
+        obj.ks = list(ks) if ks is not None else None
+        obj.vs = list(vs) if vs is not None else None
         return obj
 
     # -- construction -------------------------------------------------------
     @staticmethod
     def create(n_layers: int, n_slots: int, n_ctx: int, n_kv_heads: int,
-               head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
+               head_dim: int, dtype=jnp.bfloat16, dtype_v=None,
+               qtype_k: str | None = None,
+               qtype_v: str | None = None) -> "KVCache":
+        for qt in (qtype_k, qtype_v):
+            if qt not in (None, "q8_0"):
+                raise ValueError(f"unsupported KV cache quant type {qt!r} "
+                                 "(supported: q8_0)")
         shape = (n_slots, n_kv_heads, n_ctx, head_dim)
+        sshape = (n_slots, n_kv_heads, n_ctx)
+
+        def bufs(q, dt):
+            dt = jnp.int8 if q else dt
+            return [jnp.zeros(shape, dt) for _ in range(n_layers)]
+
+        def scales(q):
+            return ([jnp.ones(sshape, jnp.float32) for _ in range(n_layers)]
+                    if q else None)
+
         return KVCache(
-            k=[jnp.zeros(shape, dtype) for _ in range(n_layers)],
-            v=[jnp.zeros(shape, dtype) for _ in range(n_layers)],
+            k=bufs(qtype_k, dtype),
+            v=bufs(qtype_v, dtype_v if dtype_v is not None else dtype),
             pos=jnp.full((n_slots, n_ctx), -1, jnp.int32),
             seg=jnp.zeros((n_slots, n_ctx), jnp.int32),
+            ks=scales(qtype_k), vs=scales(qtype_v),
         )
 
     @property
@@ -93,6 +124,24 @@ class KVCache:
     @property
     def dtype(self):
         return self.k[0].dtype
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None or self.vs is not None
+
+
+def q8_quantize(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) absmax int8 quantization.
+
+    x: (..., D) float -> (codes int8 (..., D), scales f32 (...,)).
+    Matches ggml's quantize_row_q8_0 recipe (absmax/127) at row
+    granularity instead of 32-element blocks.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
 
     # -- queries -------------------------------------------------------------
     def used(self) -> jnp.ndarray:
@@ -123,11 +172,13 @@ def clear(cache: KVCache) -> KVCache:
 
 
 def seq_cp(cache: KVCache, src: int, dst: int) -> KVCache:
-    k = [kl.at[dst].set(kl[src]) for kl in cache.k]
-    v = [vl.at[dst].set(vl[src]) for vl in cache.v]
+    def cp(bufs):
+        return (None if bufs is None
+                else [b.at[dst].set(b[src]) for b in bufs])
     pos = cache.pos.at[dst].set(cache.pos[src])
     seg = cache.seg.at[dst].set(cache.seg[src])
-    return KVCache(k=k, v=v, pos=pos, seg=seg)
+    return KVCache(k=cp(cache.k), v=cp(cache.v), pos=pos, seg=seg,
+                   ks=cp(cache.ks), vs=cp(cache.vs))
 
 
 def seq_keep(cache: KVCache, slot: int) -> KVCache:
@@ -146,9 +197,10 @@ def seq_add(cache: KVCache, slot, p0, p1, delta: int,
     """
     m = _range_mask(cache.pos, slot, p0, p1)
     new_pos = jnp.where(m, cache.pos + delta, cache.pos)
-    k = _apply_pos_change(cache, m, new_pos, rope)
+    k, ks = _apply_pos_change(cache, m, new_pos, rope)
     new_pos = jnp.where(new_pos < 0, -1, new_pos)
-    return KVCache(k=k, v=cache.v, pos=new_pos, seg=cache.seg)
+    return KVCache(k=k, v=cache.v, pos=new_pos, seg=cache.seg,
+                   ks=ks, vs=cache.vs)
 
 
 def seq_div(cache: KVCache, slot, p0, p1, d: int, rope: RopeParams) -> KVCache:
@@ -156,12 +208,13 @@ def seq_div(cache: KVCache, slot, p0, p1, d: int, rope: RopeParams) -> KVCache:
     llama.cpp:2489-2522) and re-rope cached K."""
     m = _range_mask(cache.pos, slot, p0, p1)
     new_pos = jnp.where(m, cache.pos // d, cache.pos)
-    k = _apply_pos_change(cache, m, new_pos, rope)
-    return KVCache(k=k, v=cache.v, pos=new_pos, seg=cache.seg)
+    k, ks = _apply_pos_change(cache, m, new_pos, rope)
+    return KVCache(k=k, v=cache.v, pos=new_pos, seg=cache.seg,
+                   ks=ks, vs=cache.vs)
 
 
 def _apply_pos_change(cache: KVCache, mask: jnp.ndarray,
-                      new_pos: jnp.ndarray, rope: RopeParams) -> list:
+                      new_pos: jnp.ndarray, rope: RopeParams):
     delta = jnp.where(mask, new_pos - cache.pos, 0)        # (B, S)
 
     # rope by delta composes with the stored rotation; delta==0 is identity.
@@ -170,8 +223,19 @@ def _apply_pos_change(cache: KVCache, mask: jnp.ndarray,
     def rot(kl):
         r = apply_rope(kl.transpose(0, 2, 1, 3), delta, rope)
         return r.transpose(0, 2, 1, 3)
-    return [jnp.where(mask[:, None, :, None], rot(kl), kl)
-            for kl in cache.k]
+    if cache.ks is None:
+        return [jnp.where(mask[:, None, :, None], rot(kl), kl)
+                for kl in cache.k], None
+    # quantized K: dequant -> re-rope -> requant. Untouched rows keep their
+    # exact stored codes/scales (the where masks are row-granular, matching
+    # the per-row scale plane), so only shifted cells lose any precision.
+    k_new, ks_new = [], []
+    for kl, sl in zip(cache.k, cache.ks):
+        kf = kl.astype(jnp.float32) * sl[..., None]
+        q, s = q8_quantize(rot(kf))
+        k_new.append(jnp.where(mask[:, None, :, None], q, kl))
+        ks_new.append(jnp.where(mask[:, None, :], s, sl))
+    return k_new, ks_new
 
 
 def defrag(cache: KVCache) -> KVCache:
@@ -186,7 +250,12 @@ def defrag(cache: KVCache) -> KVCache:
     idx = order[:, None, :, None]
     k = [jnp.take_along_axis(kl, idx, axis=2) for kl in cache.k]
     v = [jnp.take_along_axis(vl, idx, axis=2) for vl in cache.v]
-    return KVCache(k=k, v=v, pos=pos, seg=seg)
+    sidx = order[:, None, :]
+    ks = (None if cache.ks is None else
+          [jnp.take_along_axis(sl, sidx, axis=2) for sl in cache.ks])
+    vs = (None if cache.vs is None else
+          [jnp.take_along_axis(sl, sidx, axis=2) for sl in cache.vs])
+    return KVCache(k=k, v=v, pos=pos, seg=seg, ks=ks, vs=vs)
 
 
 def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
@@ -210,16 +279,28 @@ def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
     b3 = slots[:, None, None]                    # (B, 1, 1)
     h3 = jnp.arange(H, dtype=jnp.int32)[None, :, None]   # (1, H, 1)
     c3 = cells[:, None, :]                       # (B, 1, T)
-    kT = k_new.transpose(0, 2, 1, 3).astype(cache.dtype)  # (B, H, T, D)
-    vT = v_new.transpose(0, 2, 1, 3).astype(cache.dtype)
+    kT = k_new.transpose(0, 2, 1, 3)                      # (B, H, T, D)
+    vT = v_new.transpose(0, 2, 1, 3)
     k = list(cache.k)
     v = list(cache.v)
-    k[layer] = k[layer].at[b3, h3, c3].set(kT)
-    v[layer] = v[layer].at[b3, h3, c3].set(vT)
+    ks = None if cache.ks is None else list(cache.ks)
+    vs = None if cache.vs is None else list(cache.vs)
+    if ks is not None:
+        qk, sk = q8_quantize(kT)
+        k[layer] = k[layer].at[b3, h3, c3].set(qk)
+        ks[layer] = ks[layer].at[b3, h3, c3].set(sk)
+    else:
+        k[layer] = k[layer].at[b3, h3, c3].set(kT.astype(k[layer].dtype))
+    if vs is not None:
+        qv, sv = q8_quantize(vT)
+        v[layer] = v[layer].at[b3, h3, c3].set(qv)
+        vs[layer] = vs[layer].at[b3, h3, c3].set(sv)
+    else:
+        v[layer] = v[layer].at[b3, h3, c3].set(vT.astype(v[layer].dtype))
     if layer != 0:
         pos, seg = cache.pos, cache.seg
     else:
         pos = cache.pos.at[b_idx, cells].set(positions)
         seg = cache.seg.at[b_idx, cells].set(
             segs if segs is not None else jnp.zeros_like(positions))
-    return KVCache(k=k, v=v, pos=pos, seg=seg)
+    return KVCache(k=k, v=v, pos=pos, seg=seg, ks=ks, vs=vs)

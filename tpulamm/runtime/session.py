@@ -36,19 +36,24 @@ def save_session(path: str, engine, tokens: list[int] | None = None) -> None:
                 tokens=np.asarray(tokens if tokens is not None else [],
                                   np.int32))
         return
-    k_st = np.stack([np.asarray(x) for x in cache.k]) \
-        if cache.dtype != jnp.bfloat16 else \
-        np.stack([np.asarray(x).view(np.uint16) for x in cache.k])
-    v_st = np.stack([np.asarray(x) for x in cache.v]) \
-        if cache.dtype != jnp.bfloat16 else \
-        np.stack([np.asarray(x).view(np.uint16) for x in cache.v])
+    def stack(bufs):
+        if bufs[0].dtype == jnp.bfloat16:
+            return np.stack([np.asarray(x).view(np.uint16) for x in bufs])
+        return np.stack([np.asarray(x) for x in bufs])
+    extra = {}
+    if cache.ks is not None:
+        extra["ks"] = np.stack([np.asarray(x) for x in cache.ks])
+    if cache.vs is not None:
+        extra["vs"] = np.stack([np.asarray(x) for x in cache.vs])
     with open(path, "wb") as fh:
         np.savez_compressed(
             fh,
             magic=np.array(MAGIC),
-            k=k_st,
-            k_dtype=np.array(str(cache.dtype)),
-            v=v_st,
+            k=stack(cache.k),
+            k_dtype=np.array(str(cache.k[0].dtype)),
+            v_dtype=np.array(str(cache.v[0].dtype)),
+            v=stack(cache.v),
+            **extra,
             pos=np.asarray(cache.pos),
             seg=np.asarray(cache.seg),
             n_past=engine.n_past,
@@ -80,16 +85,22 @@ def load_session(path: str, engine) -> list[int]:
         raise ValueError("session/model shape mismatch: "
                          f"{meta} vs engine n_ctx={engine.n_ctx}")
     kd = str(z["k_dtype"])
+    vd = str(z["v_dtype"]) if "v_dtype" in z.files else kd
     k, v = z["k"], z["v"]
     if kd == "bfloat16":
         k = jnp.asarray(k).view(jnp.bfloat16)
+    if vd == "bfloat16":
         v = jnp.asarray(v).view(jnp.bfloat16)
     seg = (jnp.asarray(z["seg"]) if "seg" in z.files
            else jnp.zeros_like(jnp.asarray(z["pos"])))
+
+    def split(st):
+        return [jnp.asarray(st[i]) for i in range(st.shape[0])]
     engine.cache = KVCache(
-        k=[jnp.asarray(k[i]) for i in range(k.shape[0])],
-        v=[jnp.asarray(v[i]) for i in range(v.shape[0])],
-        pos=jnp.asarray(z["pos"]), seg=seg)
+        k=split(jnp.asarray(k)), v=split(jnp.asarray(v)),
+        pos=jnp.asarray(z["pos"]), seg=seg,
+        ks=split(z["ks"]) if "ks" in z.files else None,
+        vs=split(z["vs"]) if "vs" in z.files else None)
     engine.n_past = z["n_past"].copy()
     engine.cell_pos = z["cell_pos"].copy()
     engine.ga_i = z["ga_i"].copy()

@@ -671,10 +671,12 @@ def make_handler(sched: Scheduler, model_name: str):
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           n_slots: int = 4, n_ctx: int = 2048, compute_dtype=None,
-          started: threading.Event | None = None, tp: int = 1, dp: int = 1):
+          started: threading.Event | None = None, tp: int = 1, dp: int = 1,
+          cache_type_k="bfloat16", cache_type_v=None):
     from tpulamm.runtime.engine import Engine
     engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
-                    compute_dtype=compute_dtype, tp=tp, dp=dp)
+                    compute_dtype=compute_dtype, tp=tp, dp=dp,
+                    kv_dtype=cache_type_k, kv_dtype_v=cache_type_v)
     sched = Scheduler(engine, n_slots)
     sched.engine = engine
     sched.start()
@@ -702,10 +704,15 @@ def main(argv=None):
                    help="tensor-parallel shards over the device mesh")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel (slot-sharding) mesh dimension")
+    p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
+                   choices=["float32", "bfloat16", "float16", "q8_0"])
+    p.add_argument("-ctv", "--cache-type-v", default=None,
+                   choices=["float32", "bfloat16", "float16", "q8_0"])
     args = p.parse_args(argv)
     serve(args.model, args.host, args.port, n_slots=args.parallel,
           n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
-          tp=args.tp, dp=args.dp)
+          tp=args.tp, dp=args.dp,
+          cache_type_k=args.cache_type_k, cache_type_v=args.cache_type_v)
 
 
 if __name__ == "__main__":
