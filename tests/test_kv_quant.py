@@ -76,7 +76,8 @@ def test_q8_cache_close_to_f32(model_path):
 
 
 def test_q8_k_only(model_path):
-    """-ctk q8_0 -ctv bfloat16 (mixed types, reference parity)."""
+    """-ctk q8_0 -ctv float32: mixed cache types (reference allows
+    independent cache_type_k/cache_type_v)."""
     ids_ref, _ = _logits(model_path, jnp.float32)
     ids_q, eng = _logits(model_path, "q8_0", kv_dtype_v=jnp.float32)
     assert eng.cache.k[0].dtype == jnp.int8
@@ -180,3 +181,30 @@ def test_q8_mesh_tp(model_path):
                           sampling=SamplingParams(temp=0.0),
                           stop_on_eos=False)
     assert ids == ids_ref
+
+
+def test_cache_query_methods_exist():
+    """used()/max_pos() are public query API (regression: a module-level
+    helper insertion once swallowed them out of the class body)."""
+    c = KVCache.create(1, 2, 8, 2, 64)
+    assert np.array_equal(np.asarray(c.used()), [0, 0])
+    assert np.array_equal(np.asarray(c.max_pos()), [-1, -1])
+
+
+def test_q8_flash_attn_explicit_rejected(model_path):
+    with pytest.raises(ValueError, match="flash_attn.*incompatible"):
+        Engine(model_path, n_ctx=32, kv_dtype="q8_0", flash_attn=True)
+
+
+def test_session_kv_layout_mismatch_rejected(model_path, tmp_path):
+    """A session saved with one -ctk/-ctv layout must not silently override
+    the engine's configured cache types on load."""
+    from tpulamm.runtime.session import load_session, save_session
+    eng = Engine(model_path, n_ctx=32, kv_dtype=jnp.bfloat16)
+    eng.generate([1, 5], n_predict=2, sampling=SamplingParams(temp=0.0),
+                 stop_on_eos=False)
+    p = str(tmp_path / "s.bin")
+    save_session(p, eng, tokens=[1, 5])
+    eng_q = Engine(model_path, n_ctx=32, kv_dtype="q8_0")
+    with pytest.raises(ValueError, match="session KV layout"):
+        load_session(p, eng_q)

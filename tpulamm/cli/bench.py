@@ -16,6 +16,7 @@ import sys
 import time
 
 import numpy as np
+from tpulamm.runtime.kvcache import KV_CACHE_TYPES
 
 
 def _pp_bench(engine, n_pp: int, reps: int) -> list[float]:
@@ -101,9 +102,9 @@ def main(argv=None):
                    default=[], help="parallel sequences (batched mode)")
     p.add_argument("--compute-dtype", default=None)
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
-                   choices=["float32", "bfloat16", "float16", "q8_0"])
+                   choices=KV_CACHE_TYPES)
     p.add_argument("-ctv", "--cache-type-v", default=None,
-                   choices=["float32", "bfloat16", "float16", "q8_0"])
+                   choices=KV_CACHE_TYPES)
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel shards over the device mesh")
     p.add_argument("--dp", type=int, default=1,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from tpulamm.runtime.kvcache import KV_CACHE_TYPES
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -55,10 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override a GGUF metadata value "
                         "(e.g. llama.rope.freq_base=float:1000000)")
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
-                   choices=["float32", "bfloat16", "float16", "q8_0"],
+                   choices=KV_CACHE_TYPES,
                    help="K cache storage type (q8_0 = int8 + row scales)")
     p.add_argument("-ctv", "--cache-type-v", default=None,
-                   choices=["float32", "bfloat16", "float16", "q8_0"],
+                   choices=KV_CACHE_TYPES,
                    help="V cache storage type (default: same as -ctk)")
     p.add_argument("--prompt-cache", default=None,
                    help="session file: reuse cached KV for a matching "

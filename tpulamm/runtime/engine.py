@@ -125,7 +125,7 @@ class Engine:
                 kv_dtype_v = kv_dtype
 
             def _kvt(t):
-                if isinstance(t, str) and t in ("q8_0", "q8"):
+                if isinstance(t, str) and t == "q8_0":
                     return None, "q8_0"
                 return jnp.dtype(t), None
             kd, qk = _kvt(kv_dtype)
@@ -136,6 +136,15 @@ class Engine:
                                         dtype=kd or jnp.bfloat16,
                                         dtype_v=vd or jnp.bfloat16,
                                         qtype_k=qk, qtype_v=qv)
+            if flash_attn and self.cache.quantized:
+                # loud, like the reference's inverse check (quantized KV
+                # requires -fa there): our fused kernel reads float K/V,
+                # so an explicit flash request can't be honored with q8_0
+                raise ValueError(
+                    "flash_attn=True is incompatible with a quantized "
+                    "(q8_0) KV cache: attention uses the einsum path with "
+                    "in-plane scale folding; drop flash_attn or use a "
+                    "float -ctk/-ctv")
         # host-side per-slot state (reference: llama_kv_cache cells/head);
         # cell_pos mirrors the device-side cache.pos so cell allocation
         # (llama_kv_cache_find_slot, llama.cpp:2207) never needs a device sync

@@ -129,6 +129,20 @@ class KVCache:
     def quantized(self) -> bool:
         return self.ks is not None or self.vs is not None
 
+    # -- queries -------------------------------------------------------------
+    def used(self) -> jnp.ndarray:
+        """(B,) number of live cells per slot."""
+        return jnp.sum(self.pos >= 0, axis=-1).astype(jnp.int32)
+
+    def max_pos(self) -> jnp.ndarray:
+        """(B,) maximum live position per slot (-1 if empty)."""
+        return jnp.max(self.pos, axis=-1)
+
+
+# CLI-exposed cache storage types (-ctk/-ctv); the single source the CLIs
+# (cli/main.py, cli/bench.py, server/server.py) and Engine share
+KV_CACHE_TYPES = ("float32", "bfloat16", "float16", "q8_0")
+
 
 def q8_quantize(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row (last-axis) absmax int8 quantization.
@@ -142,15 +156,6 @@ def q8_quantize(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
-
-    # -- queries -------------------------------------------------------------
-    def used(self) -> jnp.ndarray:
-        """(B,) number of live cells per slot."""
-        return jnp.sum(self.pos >= 0, axis=-1).astype(jnp.int32)
-
-    def max_pos(self) -> jnp.ndarray:
-        """(B,) maximum live position per slot (-1 if empty)."""
-        return jnp.max(self.pos, axis=-1)
 
 
 def _range_mask(pos: jnp.ndarray, slot: int | jnp.ndarray,

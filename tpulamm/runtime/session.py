@@ -96,11 +96,27 @@ def load_session(path: str, engine) -> list[int]:
 
     def split(st):
         return [jnp.asarray(st[i]) for i in range(st.shape[0])]
-    engine.cache = KVCache(
+    new = KVCache(
         k=split(jnp.asarray(k)), v=split(jnp.asarray(v)),
         pos=jnp.asarray(z["pos"]), seg=seg,
         ks=split(z["ks"]) if "ks" in z.files else None,
         vs=split(z["vs"]) if "vs" in z.files else None)
+    # the cache pytree STRUCTURE depends on the quantization layout (ks/vs
+    # presence) and compiled steps/mesh specs were built for the engine's
+    # -ctk/-ctv — a silently swapped layout would retrace at best and break
+    # shard_map in_specs at worst, so mismatches are an error
+    old = engine.cache
+    if ((new.ks is None) != (old.ks is None)
+            or (new.vs is None) != (old.vs is None)
+            or new.k[0].dtype != old.k[0].dtype
+            or new.v[0].dtype != old.v[0].dtype):
+        def desc(c):
+            return (f"k={'q8_0' if c.ks is not None else c.k[0].dtype}, "
+                    f"v={'q8_0' if c.vs is not None else c.v[0].dtype}")
+        raise ValueError(
+            f"{path}: session KV layout ({desc(new)}) does not match the "
+            f"engine cache ({desc(old)}); pass matching -ctk/-ctv")
+    engine.cache = new
     engine.n_past = z["n_past"].copy()
     engine.cell_pos = z["cell_pos"].copy()
     engine.ga_i = z["ga_i"].copy()

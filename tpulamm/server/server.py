@@ -26,6 +26,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from tpulamm.runtime.kvcache import KV_CACHE_TYPES
 from tpulamm.runtime.sampling import Sampler, SamplingParams
 
 
@@ -705,9 +706,9 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel (slot-sharding) mesh dimension")
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
-                   choices=["float32", "bfloat16", "float16", "q8_0"])
+                   choices=KV_CACHE_TYPES)
     p.add_argument("-ctv", "--cache-type-v", default=None,
-                   choices=["float32", "bfloat16", "float16", "q8_0"])
+                   choices=KV_CACHE_TYPES)
     args = p.parse_args(argv)
     serve(args.model, args.host, args.port, n_slots=args.parallel,
           n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
