@@ -202,6 +202,11 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0, help="max tasks/chunks")
     p.add_argument("--save-logits", help="write base logprobs for KL")
     p.add_argument("--kl-divergence", help="compare against saved logprobs")
+    from tpulamm.runtime.kvcache import KV_CACHE_TYPES
+    p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
+                   choices=KV_CACHE_TYPES)
+    p.add_argument("-ctv", "--cache-type-v", default=None,
+                   choices=KV_CACHE_TYPES)
     args = p.parse_args(argv)
     from tpulamm.cli._common import require_file
     require_file(p, args.model)
@@ -209,7 +214,9 @@ def main(argv=None):
     from tpulamm.runtime.engine import Engine
     engine = Engine(args.model, n_ctx=args.ctx_size + 1,
                     n_ubatch=args.batch_size,
-                    compute_dtype=args.compute_dtype)
+                    compute_dtype=args.compute_dtype,
+                    kv_dtype=args.cache_type_k,
+                    kv_dtype_v=args.cache_type_v)
 
     if args.hellaswag:
         res = run_hellaswag(engine, args.hellaswag, args.limit)
