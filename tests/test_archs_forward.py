@@ -91,6 +91,35 @@ def test_gpt2(tmp_path):
     _check(m, tmp_path)
 
 
+def test_gptj(tmp_path):
+    """build-gptj topology: parallel residual from ONE shared norm, partial
+    interleaved ("norm") rope, biased lm head (arch stubbed in the
+    reference b2430 enum, llama.cpp:224; graph per HF GPTJ semantics)."""
+    m = _hf("GPTJForCausalLM", vocab_size=V, n_embd=64, n_layer=2,
+            n_head=4, rotary_dim=8, n_positions=128)
+    _check(m, tmp_path)
+
+
+def test_gptneox_parallel(tmp_path):
+    """gptneox with use_parallel_residual=True: attn from input_layernorm,
+    FFN from post_attention_layernorm, both of the same input."""
+    m = _hf("GPTNeoXForCausalLM", vocab_size=V, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, rotary_pct=0.5,
+            max_position_embeddings=128, use_parallel_residual=True)
+    _check(m, tmp_path)
+
+
+def test_gptneox_sequential(tmp_path):
+    """pythia-style use_parallel_residual=False: standard sequential
+    residuals (metadata flag overrides the arch default)."""
+    m = _hf("GPTNeoXForCausalLM", vocab_size=V, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, rotary_pct=0.25,
+            max_position_embeddings=128, use_parallel_residual=False)
+    _check(m, tmp_path)
+
+
 def test_falcon(tmp_path):
     m = _hf("FalconForCausalLM", vocab_size=V, hidden_size=64,
             num_hidden_layers=2, num_attention_heads=4, bias=False,

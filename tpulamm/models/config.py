@@ -110,6 +110,10 @@ ARCH_SPECS: dict[str, dict] = {
     "starcoder":  dict(norm="ln",  rope="none", act="gelu", pos_emb=True),
     "starcoder2": dict(norm="ln",  rope="neox", act="gelu"),
     "gpt2":       dict(norm="ln",  rope="none", act="gelu", pos_emb=True),
+    "gptj":       dict(norm="ln",  rope="norm", act="gelu",
+                       parallel_residual=True),
+    "gptneox":    dict(norm="ln",  rope="neox", act="gelu",
+                       parallel_residual=True),
     "falcon":     dict(norm="ln",  rope="neox", act="gelu",
                        parallel_residual=True),
     "mpt":        dict(norm="ln",  rope="none", act="gelu"),
@@ -218,7 +222,10 @@ def config_from_metadata(md: dict) -> ModelConfig:
         n_expert=int(_get(md, f"{p}.expert_count", 0) or 0),
         n_expert_used=int(_get(md, f"{p}.expert_used_count", 0) or 0),
         norm_type=spec["norm"],
-        parallel_residual=spec.get("parallel_residual", False),
+        # gptneox models carry the flag in metadata (HF use_parallel_residual;
+        # sequential variants like pythia-*-deduped set it false)
+        parallel_residual=bool(_get(md, f"{p}.use_parallel_residual",
+                                    spec.get("parallel_residual", False))),
         post_norm=spec.get("post_norm", False),
         ffn_act=spec["act"],
         pos_emb=spec.get("pos_emb", False),

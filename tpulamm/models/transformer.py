@@ -420,7 +420,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                   if layer.get("attn_norm_2") is not None else hn)
             attn_out, cache = attention(layer, cfg, ha, positions, cache, il,
                                         slots, cells, segs)
-            ffn_out = _layer_ffn(layer, cfg, hn)
+            # gptneox feeds the FFN from its own norm of the SAME input
+            # (HF post_attention_layernorm(x) in the parallel formula);
+            # falcon/phi2/plamo/gptj share the attention norm
+            hf = (_norm(h, layer, "ffn_norm", cfg)
+                  if layer.get("ffn_norm") is not None else hn)
+            ffn_out = _layer_ffn(layer, cfg, hf)
             h = (h + attn_out + ffn_out).astype(cfg.cdtype)
         else:
             hn = _norm(h, layer, "attn_norm", cfg)

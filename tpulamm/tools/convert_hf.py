@@ -229,6 +229,101 @@ def convert_gpt2(sd: dict, c, out_path: str, qtype=GGMLType.F32,
     W.write()
 
 
+def convert_gptj(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                 vocab=None) -> None:
+    """GPT-J (GPTJForCausalLM): parallel residual with one shared norm,
+    partial interleaved rope (rotary_dim), biased lm head."""
+    W = ModelWriter(out_path, "gptj", qtype)
+    W.kv("general.name", "gptj")
+    W.akv("context_length", int(c.n_positions))
+    W.akv("embedding_length", int(c.n_embd))
+    W.akv("block_count", int(c.n_layer))
+    W.akv("feed_forward_length",
+          int(getattr(c, "n_inner", None) or 4 * c.n_embd))
+    W.akv("attention.head_count", int(c.n_head))
+    W.akv("attention.head_count_kv", int(c.n_head))
+    W.akv("attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
+    W.akv("rope.dimension_count", int(c.rotary_dim))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+    W.maybe(sd, "transformer.wte.weight", "token_embd.weight")
+    W.maybe(sd, "transformer.ln_f.weight", "output_norm.weight")
+    W.maybe(sd, "transformer.ln_f.bias", "output_norm.bias")
+    W.maybe(sd, "lm_head.weight", "output.weight")
+    W.maybe(sd, "lm_head.bias", "output.bias")
+    for i in range(int(c.n_layer)):
+        h, g = f"transformer.h.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "ln_1.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "ln_1.bias", g + "attn_norm.bias")
+        # HF rotate_every_two == ggml "norm" interleaved rope: no permute
+        W.maybe(sd, h + "attn.q_proj.weight", g + "attn_q.weight")
+        W.maybe(sd, h + "attn.k_proj.weight", g + "attn_k.weight")
+        W.maybe(sd, h + "attn.v_proj.weight", g + "attn_v.weight")
+        W.maybe(sd, h + "attn.out_proj.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "mlp.fc_in.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.fc_in.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.fc_out.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.fc_out.bias", g + "ffn_down.bias")
+    W.write()
+
+
+def convert_gptneox(sd: dict, c, out_path: str, qtype=GGMLType.F32,
+                    vocab=None) -> None:
+    """GPT-NeoX (GPTNeoXForCausalLM): per-head-interleaved fused qkv is
+    de-interleaved into separate q|k|v (convert-hf-to-gguf.py GPTNeoXModel
+    does the same); parallel residual per use_parallel_residual with the
+    FFN fed from post_attention_layernorm; partial neox rope (rotary_pct)."""
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    W = ModelWriter(out_path, "gptneox", qtype)
+    W.kv("general.name", "gptneox")
+    W.akv("context_length", int(c.max_position_embeddings))
+    W.akv("embedding_length", int(c.hidden_size))
+    W.akv("block_count", int(c.num_hidden_layers))
+    W.akv("feed_forward_length", int(c.intermediate_size))
+    W.akv("attention.head_count", n_head)
+    W.akv("attention.head_count_kv", n_head)
+    W.akv("attention.layer_norm_epsilon", float(c.layer_norm_eps))
+    W.akv("rope.dimension_count", int(hd * float(c.rotary_pct)))
+    W.akv("rope.freq_base", float(getattr(c, "rotary_emb_base", 10000.0)))
+    W.akv("use_parallel_residual",
+          bool(getattr(c, "use_parallel_residual", True)))
+    W.akv("vocab_size", int(c.vocab_size))
+    W.vocab(vocab)
+
+    def part(which):
+        # HF fuses qkv per head: rows are [h0:q,k,v | h1:q,k,v | ...]
+        def f(x):
+            y = x.reshape(n_head, 3, hd, -1)[:, which]
+            y = y.reshape(n_head * hd, -1)
+            return y if x.ndim == 2 else y.reshape(-1)
+        return f
+
+    W.maybe(sd, "gpt_neox.embed_in.weight", "token_embd.weight")
+    W.maybe(sd, "gpt_neox.final_layer_norm.weight", "output_norm.weight")
+    W.maybe(sd, "gpt_neox.final_layer_norm.bias", "output_norm.bias")
+    W.maybe(sd, "embed_out.weight", "output.weight")
+    for i in range(int(c.num_hidden_layers)):
+        h, g = f"gpt_neox.layers.{i}.", f"blk.{i}."
+        W.maybe(sd, h + "input_layernorm.weight", g + "attn_norm.weight")
+        W.maybe(sd, h + "input_layernorm.bias", g + "attn_norm.bias")
+        W.maybe(sd, h + "post_attention_layernorm.weight",
+                g + "ffn_norm.weight")
+        W.maybe(sd, h + "post_attention_layernorm.bias", g + "ffn_norm.bias")
+        for which, nm in ((0, "attn_q"), (1, "attn_k"), (2, "attn_v")):
+            W.maybe(sd, h + "attention.query_key_value.weight",
+                    g + f"{nm}.weight", part(which))
+            W.maybe(sd, h + "attention.query_key_value.bias",
+                    g + f"{nm}.bias", part(which))
+        W.maybe(sd, h + "attention.dense.weight", g + "attn_output.weight")
+        W.maybe(sd, h + "attention.dense.bias", g + "attn_output.bias")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.weight", g + "ffn_up.weight")
+        W.maybe(sd, h + "mlp.dense_h_to_4h.bias", g + "ffn_up.bias")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.weight", g + "ffn_down.weight")
+        W.maybe(sd, h + "mlp.dense_4h_to_h.bias", g + "ffn_down.bias")
+    W.write()
+
+
 def convert_falcon(sd: dict, c, out_path: str, qtype=GGMLType.F32,
                    vocab=None) -> None:
     n_head = int(c.num_attention_heads)
@@ -830,6 +925,8 @@ CONVERTERS = {
     "llama": convert_llama_family,
     "mixtral": convert_llama_family,
     "gpt2": convert_gpt2,
+    "gptj": convert_gptj,
+    "gpt_neox": convert_gptneox,
     "falcon": convert_falcon,
     "gpt_bigcode": convert_gptbigcode,
     "bloom": convert_bloom,
