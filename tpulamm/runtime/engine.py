@@ -159,6 +159,7 @@ class Engine:
         self.cfg_step = self.cfg
         if self.tp * self.dp > 1:
             self._setup_mesh()
+        self._maybe_build_mega()
         cfg = self.cfg_step
         if self.recurrent:
             from tpulamm.models.mamba import forward as model_forward
@@ -192,6 +193,31 @@ class Engine:
         # blocks; None = never abort
         self.abort_callback = None
         self.timings.t_load = time.perf_counter() - t0
+
+    def _maybe_build_mega(self):
+        """Build the decode-megakernel operands (ops/pallas_decode) when
+        the model/cache qualify. One Pallas launch then covers every layer
+        of a decode step, eliminating ~4*n_layers kernel-call floors (the
+        dominant decode cost; PERF.md round-2 floor analysis). Off-TPU it
+        only activates when TPULAMM_MEGAKERNEL=1 forces it (interpret mode
+        is for tests); TPULAMM_MEGAKERNEL=0 disables everywhere."""
+        import os
+        self.mega = None
+        flag = os.environ.get("TPULAMM_MEGAKERNEL", "")
+        if flag == "0":
+            return
+        if (self.mesh is not None or self.recurrent
+                or self.cache.quantized
+                or self.cache.k[0].dtype != jnp.bfloat16
+                or self.cache.v[0].dtype != jnp.bfloat16
+                or self.params.get("output") is None
+                or self.params.get("out_norm") is None
+                or self.params.get("out_norm_b") is not None):
+            return
+        if jax.default_backend() != "tpu" and flag != "1":
+            return
+        from tpulamm.ops.pallas_decode import build_mega
+        self.mega = build_mega(self.params, self.cfg, self.cache.n_ctx)
 
     def set_abort_callback(self, cb) -> None:
         """cb() -> bool; True aborts the next compute boundary."""
@@ -793,6 +819,87 @@ class Engine:
     # -- on-device decode loop -------------------------------------------------
     DECODE_BUCKETS = (16, 32, 64, 128, 256, 512)
 
+    @staticmethod
+    def _sample_next(lg, key, temp, top_k: int, greedy: bool):
+        """Shared on-device sampler for the decode scans. lg: (V,) f32."""
+        if greedy:
+            return key, jnp.argmax(lg).astype(jnp.int32)
+        if top_k <= 0:
+            # top-k disabled (host-sampler semantics): full softmax
+            key, sub = jax.random.split(key)
+            return key, jax.random.categorical(
+                sub, lg / jnp.maximum(temp, 1e-6)).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        kv_, ki = jax.lax.top_k(lg, top_k)
+        return key, ki[jax.random.categorical(
+            sub, kv_ / jnp.maximum(temp, 1e-6))].astype(jnp.int32)
+
+    def _build_decode_scan_mega(self):
+        """Megakernel decode scan: one pallas launch per token for ALL
+        layers (ops/pallas_decode), plus the lm-head qmm. The per-layer
+        KV-cache list is stacked to (L, B, H, S, D) for the scan so the
+        step's KV write is a single dynamic_update_slice, and unstacked
+        back into the engine cache afterwards (two ~cache-size copies per
+        multi-hundred-step scan block — negligible)."""
+        cfg = self.cfg
+        mega = self.mega
+        from tpulamm.models.transformer import _proj, embed
+        from tpulamm.ops.layers import rms_norm
+        from tpulamm.ops.pallas_decode import (mega_decode_layers,
+                                               rope_lane_vectors)
+        interp = jax.default_backend() != "tpu"
+        L, Hkv, hd = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+
+        def run(params, cache, first_tok, start_pos, slot, n_steps, key,
+                temp, top_k, greedy):
+            kst = jnp.stack(cache.k)
+            vst = jnp.stack(cache.v)
+
+            def step(carry, _):
+                kst, vst, pos_tbl, tok, p, key = carry
+                h = embed(params, cfg, tok[None, None])       # (1, 1, dim)
+                if cfg.emb_scale != 1.0:
+                    h = (h.astype(jnp.float32)
+                         * cfg.emb_scale).astype(cfg.cdtype)
+                x = h[:, 0].astype(jnp.float32)
+                qpos = p[None]
+                cosq, sinq, cosk, sink = rope_lane_vectors(
+                    mega.rope, hd, cfg.n_heads, Hkv, qpos)
+                x_out, k_new, v_new = mega_decode_layers(
+                    mega.spec, x, qpos, pos_tbl, kst, vst,
+                    cosq, sinq, cosk, sink, mega.planes, mega.norms,
+                    interpret=interp)
+                hh = rms_norm(x_out.astype(cfg.cdtype), params["out_norm"],
+                              cfg.norm_eps)
+                if cfg.logit_scale != 1.0:
+                    hh = (hh.astype(jnp.float32)
+                          * cfg.logit_scale).astype(cfg.cdtype)
+                logits = _proj(hh, params["output"], cfg,
+                               params.get("output_b"))
+                lg = logits[0, :cfg.vocab_size]
+                key, nxt = self._sample_next(lg, key, temp, top_k, greedy)
+                # fresh-slot decode contract: cell index == position
+                z = jnp.int32(0)
+                k_up = k_new.reshape(L, 1, Hkv, hd)[:, :, :, None, :]
+                v_up = v_new.reshape(L, 1, Hkv, hd)[:, :, :, None, :]
+                kst2 = jax.lax.dynamic_update_slice(
+                    kst, k_up.astype(kst.dtype), (z, z, z, p, z))
+                vst2 = jax.lax.dynamic_update_slice(
+                    vst, v_up.astype(vst.dtype), (z, z, z, p, z))
+                pos_tbl = jax.lax.dynamic_update_slice(
+                    pos_tbl, p[None, None], (z, p))
+                return (kst2, vst2, pos_tbl, nxt, p + 1, key), nxt
+
+            (kst, vst, pos_tbl, _, _, _), toks = jax.lax.scan(
+                step, (kst, vst, cache.pos, first_tok, start_pos, key),
+                None, length=n_steps)
+            new_cache = KVCache(k=[kst[il] for il in range(L)],
+                                v=[vst[il] for il in range(L)],
+                                pos=pos_tbl, seg=cache.seg)
+            return toks, new_cache
+
+        return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
+
     def _build_decode_scan(self):
         """Jitted lax.scan decode: N tokens per dispatch, sampling on
         device. This is the TPU-native answer to the reference's per-token
@@ -815,18 +922,7 @@ class Engine:
                     params, cfg, tok[None, None], pos[None, None], cache,
                     None if one_slot else slot[None], pos[None, None])
                 lg = logits[0, 0]
-                if greedy:
-                    nxt = jnp.argmax(lg).astype(jnp.int32)
-                elif top_k <= 0:
-                    # top-k disabled (host-sampler semantics): full softmax
-                    key, sub = jax.random.split(key)
-                    nxt = jax.random.categorical(
-                        sub, lg / jnp.maximum(temp, 1e-6)).astype(jnp.int32)
-                else:
-                    key, sub = jax.random.split(key)
-                    kv_, ki = jax.lax.top_k(lg, top_k)
-                    nxt = ki[jax.random.categorical(
-                        sub, kv_ / jnp.maximum(temp, 1e-6))].astype(jnp.int32)
+                key, nxt = self._sample_next(lg, key, temp, top_k, greedy)
                 return (cache, nxt, pos + 1, key), nxt
             (cache, _, _, _), toks = jax.lax.scan(
                 step, (cache, first_tok, start_pos, key), None,
@@ -969,7 +1065,12 @@ class Engine:
         first = int(np.argmax(logits))   # first token greedy; rest on device
         eos = self.tokenizer.vocab.eos_id if self.tokenizer else 2
         if self.mesh is None and not hasattr(self, "_decode_scan"):
-            self._decode_scan = self._build_decode_scan()
+            # megakernel scan: one pallas launch per token for all layers
+            # (requires the all-slots-in-order identity, i.e. one slot)
+            if self.mega is not None and self.n_slots == 1:
+                self._decode_scan = self._build_decode_scan_mega()
+            else:
+                self._decode_scan = self._build_decode_scan()
         start0 = int(self.n_past[slot])
         out = [first]
         cur = first
