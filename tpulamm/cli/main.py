@@ -96,6 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="string prepended to interactive user input")
     p.add_argument("--in-suffix", default="",
                    help="string appended to interactive user input")
+    from tpulamm.utils import log as _log
+    _log.add_args(p)
     return p
 
 
@@ -131,6 +133,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from tpulamm.cli._common import require_file
     require_file(build_parser(), args.model)
+    from tpulamm.utils import log as logm
+    logm.setup(args, "main")
+    logm.log(f"args: {vars(args)}")
 
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.sampling import SamplingParams
@@ -260,7 +265,13 @@ def main(argv=None):
     else:
         run_once(prompt)
 
-    print("\n" + engine.timings.report(), file=sys.stderr)
+    logm.log_tee("\n" + engine.timings.report())
+    if args.logdir:
+        logm.dump_yaml(args.logdir, "main",
+                       {"model": args.model, "n_predict": args.n_predict,
+                        "ctx_size": args.ctx_size, "seed": args.seed,
+                        **logm.timings_record(engine.timings)})
+    logm.close_file()
     return 0
 
 

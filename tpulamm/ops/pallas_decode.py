@@ -357,16 +357,14 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
     dim, ffn, nq = spec.dim, spec.ffn, H * hd
     B = max(MROWS, B0)
     if B != B0:
+        # pad only the activation-row operands to the sublane quantum; the
+        # KV cache and kpos stay at B0 rows (the kernel indexes them per
+        # real batch row) so cache HBM traffic is not multiplied by B/B0
         padr = ((0, B - B0), (0, 0))
         x = jnp.pad(x, padr)
         cosq, sinq = jnp.pad(cosq, padr), jnp.pad(sinq, padr)
         cosk, sink = jnp.pad(cosk, padr), jnp.pad(sink, padr)
-        kpos = jnp.pad(kpos, padr, constant_values=-1)
         qpos = jnp.pad(qpos, (0, B - B0), constant_values=-1)
-        kstack = jnp.pad(kstack, ((0, 0), (0, B - B0), (0, 0), (0, 0),
-                                  (0, 0)))
-        vstack = jnp.pad(vstack, ((0, 0), (0, B - B0), (0, 0), (0, 0),
-                                  (0, 0)))
 
     PQ, PW, PG, PD = spec.pq, spec.pw, spec.pg, spec.pd
     AT, W0 = PQ, PQ + 1
@@ -395,12 +393,12 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
         pl.BlockSpec((B, nq), lambda l, p: (0, 0)),               # sinq
         pl.BlockSpec((B, Hkv * hd), lambda l, p: (0, 0)),         # cosk
         pl.BlockSpec((B, Hkv * hd), lambda l, p: (0, 0)),         # sink
-        pl.BlockSpec((B, S), lambda l, p: (0, 0)),                # kpos
-        pl.BlockSpec((1, B, Hkv, S, hd),                          # K
+        pl.BlockSpec((B0, S), lambda l, p: (0, 0)),               # kpos
+        pl.BlockSpec((1, B0, Hkv, S, hd),                         # K
                      lambda l, p: (jnp.where(p >= AT, l,
                                              jnp.maximum(l - 1, 0)),
                                    0, 0, 0, 0)),
-        pl.BlockSpec((1, B, Hkv, S, hd),                          # V
+        pl.BlockSpec((1, B0, Hkv, S, hd),                         # V
                      lambda l, p: (jnp.where(p >= AT, l,
                                              jnp.maximum(l - 1, 0)),
                                    0, 0, 0, 0)),
@@ -448,7 +446,7 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
     ffn_pad = PD * spec.kc_down * TK
     wbytes = sum(int(a.size) * a.dtype.itemsize
                  for k, a in planes.items())
-    kvbytes = 2 * L * B * Hkv * S * hd * kstack.dtype.itemsize
+    kvbytes = 2 * L * B0 * Hkv * S * hd * kstack.dtype.itemsize
     out = pl.pallas_call(
         kernel,
         grid=(L, P),
@@ -520,7 +518,7 @@ def _col_bytes(qt: GGMLType, k: int, planes: dict, prefix: str) -> int:
 
 
 def build_mega(params: dict, cfg, n_ctx_cache: int,
-               kv_itemsize: int = 2) -> MegaModel | None:
+               kv_itemsize: int = 2, kv_rows: int = MROWS) -> MegaModel | None:
     """Stack per-layer weights for the megakernel; None if ineligible.
 
     Eligibility = the llama-family topology the kernel implements: rms
@@ -585,7 +583,7 @@ def build_mega(params: dict, cfg, n_ctx_cache: int,
 
     # tile under the VMEM budget: every input block is double-buffered, so
     # 2 * (sum of block bytes) + scratch must fit in ~14.5MB scoped VMEM
-    kv_block = MROWS * Hkv * n_ctx_cache * hd * kv_itemsize
+    kv_block = kv_rows * Hkv * n_ctx_cache * hd * kv_itemsize
     cb = {p: _col_bytes(q, k, planes, p)
           for p, q, k in (("qkv", qts[0], dim), ("wo", qts[1], nq),
                           ("gu", qts[2], dim))}

@@ -217,7 +217,8 @@ class Engine:
         if jax.default_backend() != "tpu" and flag != "1":
             return
         from tpulamm.ops.pallas_decode import build_mega
-        self.mega = build_mega(self.params, self.cfg, self.cache.n_ctx)
+        self.mega = build_mega(self.params, self.cfg, self.cache.n_ctx,
+                               kv_rows=self.n_slots)
 
     def set_abort_callback(self, cb) -> None:
         """cb() -> bool; True aborts the next compute boundary."""

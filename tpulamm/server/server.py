@@ -709,7 +709,11 @@ def main(argv=None):
                    choices=KV_CACHE_TYPES)
     p.add_argument("-ctv", "--cache-type-v", default=None,
                    choices=KV_CACHE_TYPES)
+    from tpulamm.utils import log as logm
+    logm.add_args(p)
     args = p.parse_args(argv)
+    logm.setup(args, "server")
+    logm.log(f"args: {vars(args)}")
     serve(args.model, args.host, args.port, n_slots=args.parallel,
           n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
           tp=args.tp, dp=args.dp,
