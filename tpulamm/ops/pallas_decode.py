@@ -190,14 +190,14 @@ def _make_kernel(spec: MegaSpec, B: int, breal: int, S: int,
             return [next(it) for _ in range(n)]
 
         (x_ref, anorm_ref, fnorm_ref, cosq_ref, sinq_ref, cosk_ref,
-         sink_ref, kpos_ref, k_ref, v_ref) = take(10)
+         sink_ref, kposT_ref, k_ref, v_ref) = take(10)
         qkv_pl = dict(zip(PLANE_ORDER[qt_qkv], take(n_qkv)))
         wo_pl = dict(zip(PLANE_ORDER[qt_wo], take(n_wo)))
         gu_pl = dict(zip(PLANE_ORDER[qt_gu], take(n_gu)))
         dn_pl = dict(zip(PLANE_ORDER[qt_dn], take(n_dn)))
         (xout_ref, knew_ref, vnew_ref,
-         xres_ref, hn_ref, qkv_acc, q_h, kv_h, attn_h, ao_ref,
-         gu_acc, mid_ref, dacc_ref) = take(13)
+         xres_ref, hn_ref, qkv_acc, qkvt_ref, attn_t, ao_ref,
+         gu_acc, mid_ref, dacc_ref) = take(12)
 
         layer = pl.program_id(0)
         p = pl.program_id(1)
@@ -218,7 +218,6 @@ def _make_kernel(spec: MegaSpec, B: int, breal: int, S: int,
             def _():
                 xres_ref[:] = x_ref[:].astype(jnp.bfloat16)
                 mid_ref[:] = jnp.zeros_like(mid_ref)
-                attn_h[:] = jnp.zeros_like(attn_h)   # pad rows never written
             hn_ref[:] = rms(xres_ref[:], anorm_ref[0])
 
         @pl.when(p < PQ)
@@ -230,6 +229,14 @@ def _make_kernel(spec: MegaSpec, B: int, breal: int, S: int,
             qkv_acc[:, pl.ds(p * spec.tn_qkv, spec.tn_qkv)] = part
 
         # ---- phase B: rope + attention -------------------------------------
+        # Transposed orientation: a lanes->sublanes reshape of the head-
+        # concatenated q (B, nq) -> (B*H, hd) has no Mosaic lowering, but a
+        # 2-D transpose does. Post-rope q/k/v are transposed once to
+        # (features, B); per-head extraction is then a plain SUBLANE slice,
+        # scores are (S, hd) x (hd, B) MXU dots, and softmax reduces over
+        # sublanes. Only lane 0 is meaningful (the kernel serves the
+        # single-stream decode scan; breal == 1 enforced by the caller) —
+        # pad lanes compute harmless zeros.
         @pl.when(p == AT)
         def _():
             qf = qkv_acc[:, :nq]
@@ -246,40 +253,36 @@ def _make_kernel(spec: MegaSpec, B: int, breal: int, S: int,
             vnew_ref[0] = vf
             # engine-parity rounding: cache rows are bf16, and the einsum
             # path dots bf16 q against them with f32 accumulation
-            q_h[:] = qf.astype(jnp.bfloat16).reshape(B * H, hd)
-            kv_h[:B * Hkv] = kf.astype(jnp.bfloat16).reshape(B * Hkv, hd)
-            kv_h[B * Hkv:] = vf.astype(jnp.bfloat16).reshape(B * Hkv, hd)
-            # attention only for REAL batch rows (pad rows' attn_h content
-            # is never read back: their x_res lanes are row-local garbage
-            # that the [:B0] output slice drops)
-            for b in range(breal):
-                qp = qpos_ref[b]
-                kposr = kpos_ref[pl.ds(b, 1), :]              # (1, S)
-                live = (kposr >= 0) & (kposr <= qp)
-                for j in range(Hkv):
-                    qj = q_h[pl.ds((b * Hkv + j) * G, G), :]  # (G, hd) bf16
-                    kj = k_ref[0, b, j].astype(jnp.bfloat16)  # (S, hd)
-                    s = jax.lax.dot_general(
-                        qj, kj, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale
-                    s = jnp.where(live, s, NEG_INF)           # (G, S)
-                    kc_row = kv_h[pl.ds(b * Hkv + j, 1), :]   # (1, hd)
-                    sc = jax.lax.dot_general(
-                        qj, kc_row, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale
-                    m = jnp.maximum(jnp.max(s, -1, keepdims=True), sc)
-                    pr = jnp.exp(s - m)
-                    pr = jnp.where(s <= NEG_INF, 0.0, pr)
-                    pc = jnp.exp(sc - m)                      # (G, 1)
-                    vj = v_ref[0, b, j].astype(jnp.bfloat16)
-                    pv = jax.lax.dot_general(
-                        pr.astype(jnp.bfloat16), vj, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    vc_row = kv_h[pl.ds(B * Hkv + b * Hkv + j, 1), :]
-                    pv = pv + pc * vc_row.astype(jnp.float32)
-                    denom = jnp.sum(pr, -1, keepdims=True) + pc
-                    attn_h[pl.ds((b * Hkv + j) * G, G), :] = pv / denom
-            ao_ref[:] = attn_h[:].reshape(B, nq).astype(jnp.bfloat16)
+            qkvt_ref[pl.ds(0, nq), :] = qf.T.astype(jnp.bfloat16)
+            qkvt_ref[pl.ds(nq, nkvd), :] = kf.T.astype(jnp.bfloat16)
+            qkvt_ref[pl.ds(nq + nkvd, nkvd), :] = vf.T.astype(jnp.bfloat16)
+            qp = qpos_ref[0]
+            live = (kposT_ref[:] >= 0) & (kposT_ref[:] <= qp)   # (S, 1)
+            for h in range(H):
+                j = h // G
+                qh = qkvt_ref[pl.ds(h * hd, hd), :]             # (hd, B)
+                kj = k_ref[0, 0, j].astype(jnp.bfloat16)        # (S, hd)
+                s = jax.lax.dot_general(
+                    kj, qh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(live, s, NEG_INF)                 # (S, B)
+                kch = qkvt_ref[pl.ds(nq + j * hd, hd), :]
+                sc = jnp.sum(qh.astype(jnp.float32)
+                             * kch.astype(jnp.float32),
+                             axis=0, keepdims=True) * scale     # (1, B)
+                m = jnp.maximum(jnp.max(s, 0, keepdims=True), sc)
+                pr = jnp.exp(s - m)
+                pr = jnp.where(s <= NEG_INF, 0.0, pr)
+                pc = jnp.exp(sc - m)                            # (1, B)
+                vj = v_ref[0, 0, j].astype(jnp.bfloat16)
+                pv = jax.lax.dot_general(
+                    vj, pr.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (hd, B)
+                vch = qkvt_ref[pl.ds(nq + nkvd + j * hd, hd), :]
+                pv = pv + pc * vch.astype(jnp.float32)
+                denom = jnp.sum(pr, 0, keepdims=True) + pc
+                attn_t[pl.ds(h * hd, hd), :] = pv / denom
+            ao_ref[:] = attn_t[:].T.astype(jnp.bfloat16)        # (B, nq)
 
         # ---- phase C: attn output projection + residual --------------------
         @pl.when((p >= W0) & (p < G0))
@@ -352,6 +355,10 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
     Returns (x_out (B, dim) f32, k_new (L, B, Hkv*hd) f32, v_new same).
     """
     L, B0 = spec.n_layers, x.shape[0]
+    if B0 != 1:
+        raise NotImplementedError(
+            "megakernel decode serves the single-stream scan (B0 == 1); "
+            "batched decode uses the XLA einsum scan")
     S = kstack.shape[3]
     hd, H, Hkv = spec.head_dim, spec.n_heads, spec.n_kv_heads
     dim, ffn, nq = spec.dim, spec.ffn, H * hd
@@ -387,13 +394,15 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
 
     in_specs = [
         pl.BlockSpec((B, dim), lambda l, p: (0, 0)),              # x
-        pl.BlockSpec((1, dim), lambda l, p: (l, 0)),              # attn_norm
-        pl.BlockSpec((1, dim), lambda l, p: (l, 0)),              # ffn_norm
+        # norms are stacked (L, 1, dim) so the (1, 1, dim) block satisfies
+        # Mosaic's trailing-dims rule (block == array on the last two dims)
+        pl.BlockSpec((1, 1, dim), lambda l, p: (l, 0, 0)),        # attn_norm
+        pl.BlockSpec((1, 1, dim), lambda l, p: (l, 0, 0)),        # ffn_norm
         pl.BlockSpec((B, nq), lambda l, p: (0, 0)),               # cosq
         pl.BlockSpec((B, nq), lambda l, p: (0, 0)),               # sinq
         pl.BlockSpec((B, Hkv * hd), lambda l, p: (0, 0)),         # cosk
         pl.BlockSpec((B, Hkv * hd), lambda l, p: (0, 0)),         # sink
-        pl.BlockSpec((B0, S), lambda l, p: (0, 0)),               # kpos
+        pl.BlockSpec((S, B0), lambda l, p: (0, 0)),               # kpos^T
         pl.BlockSpec((1, B0, Hkv, S, hd),                         # K
                      lambda l, p: (jnp.where(p >= AT, l,
                                              jnp.maximum(l - 1, 0)),
@@ -404,7 +413,7 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
                                    0, 0, 0, 0)),
     ]
     operands = [x, norms["attn_norm"], norms["ffn_norm"],
-                cosq, sinq, cosk, sink, kpos, kstack, vstack]
+                cosq, sinq, cosk, sink, kpos.T, kstack, vstack]
 
     def add_planes(prefix, qt, k_of, n_of, tn, imap):
         for name in PLANE_ORDER[qt]:
@@ -465,9 +474,8 @@ def mega_decode_layers(spec: MegaSpec, x, qpos, kpos, kstack, vstack,
             pltpu.VMEM((B, dim), jnp.bfloat16),        # x_res
             pltpu.VMEM((B, dim), jnp.bfloat16),        # hn
             pltpu.VMEM((B, spec.nqkv), jnp.float32),   # qkv_acc
-            pltpu.VMEM((B * H, hd), jnp.bfloat16),     # q heads
-            pltpu.VMEM((2 * B * Hkv, hd), jnp.bfloat16),  # k/v cur heads
-            pltpu.VMEM((B * H, hd), jnp.float32),      # attn heads
+            pltpu.VMEM((spec.nqkv, B), jnp.bfloat16),  # q/k/v transposed
+            pltpu.VMEM((nq, B), jnp.float32),          # attn out (transposed)
             pltpu.VMEM((B, nq), jnp.bfloat16),         # attn out (lanes)
             pltpu.VMEM((B, 2 * ffn), jnp.float32),     # gate/up acc
             pltpu.VMEM((B, ffn_pad), jnp.bfloat16),    # mid
@@ -576,9 +584,9 @@ def build_mega(params: dict, cfg, n_ctx_cache: int,
                 [lyr[key].planes[nm] for lyr in layers])
     norms = {
         "attn_norm": jnp.stack([lyr["attn_norm"] for lyr in layers]
-                               ).astype(jnp.float32),
+                               ).astype(jnp.float32)[:, None, :],
         "ffn_norm": jnp.stack([lyr["ffn_norm"] for lyr in layers]
-                              ).astype(jnp.float32),
+                              ).astype(jnp.float32)[:, None, :],
     }
 
     # tile under the VMEM budget: every input block is double-buffered, so
@@ -603,8 +611,11 @@ def build_mega(params: dict, cfg, n_ctx_cache: int,
         blocks = (tn_qkv * cb["qkv"] + tn_wo * cb["wo"] + tn_gu * cb["gu"]
                   + kc_down * dn_chunk_bytes + 2 * kv_block
                   + MROWS * (n_ctx_cache + 2 * nq + 2 * Hkv * hd) * 4)
-        scratch = MROWS * (2 * dim * 2 + nqkv * 4 + 2 * nq * 4
-                           + 2 * ffn * 4 + ffn * 2 + dim * 4 + dim * 4)
+        # row-major scratches cost MROWS rows x feature lanes; the two
+        # TRANSPOSED scratches (qkvt, attn_t) are lane-padded to 128
+        scratch = (MROWS * (2 * dim * 2 + nqkv * 4 + nq * 2
+                            + 2 * ffn * 4 + ffn * 2 + dim * 4)
+                   + nqkv * 128 * 2 + nq * 128 * 4)
         if 2 * blocks + scratch <= int(14.5 * 2 ** 20):
             break
     else:

@@ -197,14 +197,17 @@ class Engine:
     def _maybe_build_mega(self):
         """Build the decode-megakernel operands (ops/pallas_decode) when
         the model/cache qualify. One Pallas launch then covers every layer
-        of a decode step, eliminating ~4*n_layers kernel-call floors (the
-        dominant decode cost; PERF.md round-2 floor analysis). Off-TPU it
-        only activates when TPULAMM_MEGAKERNEL=1 forces it (interpret mode
-        is for tests); TPULAMM_MEGAKERNEL=0 disables everywhere."""
+        of a decode step. OPT-IN (TPULAMM_MEGAKERNEL=1): measured on v5e
+        the megakernel lowers and matches, but runs ~15% slower than the
+        XLA einsum scan (1.66 vs 1.40 ms/step on the 1.1B Q4_0 model) —
+        per-grid-step overheads across the (layers x phases) grid outweigh
+        the saved launch floors, which XLA already hides by pipelining
+        kernel launches inside the scan. Kept for future tuning and as the
+        reference implementation of whole-model single-launch decode."""
         import os
         self.mega = None
         flag = os.environ.get("TPULAMM_MEGAKERNEL", "")
-        if flag == "0":
+        if flag != "1":
             return
         if (self.mesh is not None or self.recurrent
                 or self.cache.quantized
@@ -851,8 +854,12 @@ class Engine:
         interp = jax.default_backend() != "tpu"
         L, Hkv, hd = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
 
-        def run(params, cache, first_tok, start_pos, slot, n_steps, key,
-                temp, top_k, greedy):
+        def run(mega_ops, params, cache, first_tok, start_pos, slot,
+                n_steps, key, temp, top_k, greedy):
+            # planes/norms arrive as ARGUMENTS, not jaxpr closure constants:
+            # captured they would be inlined into the compile payload
+            # (hundreds of MB of weights in the HLO literal pool)
+            planes, mnorms = mega_ops
             kst = jnp.stack(cache.k)
             vst = jnp.stack(cache.v)
 
@@ -868,7 +875,7 @@ class Engine:
                     mega.rope, hd, cfg.n_heads, Hkv, qpos)
                 x_out, k_new, v_new = mega_decode_layers(
                     mega.spec, x, qpos, pos_tbl, kst, vst,
-                    cosq, sinq, cosk, sink, mega.planes, mega.norms,
+                    cosq, sinq, cosk, sink, planes, mnorms,
                     interpret=interp)
                 hh = rms_norm(x_out.astype(cfg.cdtype), params["out_norm"],
                               cfg.norm_eps)
@@ -899,7 +906,13 @@ class Engine:
                                 pos=pos_tbl, seg=cache.seg)
             return toks, new_cache
 
-        return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
+        jitted = jax.jit(run, static_argnums=(6, 9, 10), donate_argnums=(2,))
+        ops = (mega.planes, mega.norms)
+
+        def call(params, cache, *rest):
+            return jitted(ops, params, cache, *rest)
+
+        return call
 
     def _build_decode_scan(self):
         """Jitted lax.scan decode: N tokens per dispatch, sampling on
