@@ -366,16 +366,23 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         kc_cands = (8, 4, 2) if gemv else (4, 2)
         kc = 1
         n_chunks = k // TK
+        # exact divisors first: tail-masked steps dequant padded K rows for
+        # nothing (down-proj 5632: exact kc=2 17.5us vs masked kc=8 19.4us
+        # isolated on v5e)
         for cand in kc_cands:
-            if strict:
-                waste_ok = n_chunks % cand == 0
-            else:
-                waste_ok = (n_chunks % cand == 0
-                            or n_chunks % cand >= max(1, cand // 2)
-                            or n_chunks >= 4 * cand)
-            if waste_ok and (gemv or vmem_ok(tn, cand)):
+            if n_chunks % cand == 0 and (gemv or vmem_ok(tn, cand)):
                 kc = cand
                 break
+        else:
+            for cand in kc_cands:
+                if strict:
+                    waste_ok = n_chunks % cand == 0
+                else:
+                    waste_ok = (n_chunks % cand >= max(1, cand // 2)
+                                or n_chunks >= 4 * cand)
+                if waste_ok and (gemv or vmem_ok(tn, cand)):
+                    kc = cand
+                    break
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         x = x.astype(jnp.float32)
     out = _qmm_call(x, qt.planes, qtype=qt.qtype, n=n, k=k, tn=tn, kc=kc,
