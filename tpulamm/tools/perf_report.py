@@ -100,6 +100,66 @@ def bench_model(path: str) -> dict:
     return {"pp512": pp, "tg256": tg}
 
 
+def bench_batched(path: str, pls=(8, 16, 32), n_pp=128, n_tg=128,
+                  n_ctx=512) -> list[dict]:
+    """Aggregate decode throughput vs slot count (continuous batching).
+
+    Decode is VPU-dequant-bound per STEP (PERF.md floor analysis), so one
+    batched step costs nearly the same as a single-stream step until the
+    per-slot KV streaming catches up — aggregate tok/s scales with slots.
+    The engine is sized per row: attention streams the KV of every CACHE
+    slot, so an oversized n_slots taxes every configuration equally."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for pl in pls:
+        from tpulamm.runtime.engine import Engine
+        eng = Engine(path, n_ctx=n_ctx, n_slots=pl)
+        for s in range(pl):
+            eng.reset_slot(s)
+            eng.prefill(s, list(rng.integers(3, 1000, n_pp)))
+        cur = {s: 2 for s in range(pl)}
+        eng.decode_batch_fast(cur, n_tg)          # warm this (pl, n_tg)
+        for s in range(pl):
+            eng.rollback(s, n_pp)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.decode_batch_fast(cur, n_tg)
+            best = max(best, pl * n_tg / (time.perf_counter() - t0))
+            for s in range(pl):
+                eng.rollback(s, n_pp)
+        rows.append({"pl": pl, "agg_ts": best})
+    return rows
+
+
+def bench_ctx_scaling(path: str, ctxs=(512, 2048), **eng_kw) -> list[dict]:
+    """tg256 at several context sizes (KV-streaming cost curve)."""
+    import time
+
+    from tpulamm.runtime.engine import Engine
+    rows = []
+    for n_ctx in ctxs:
+        eng = Engine(path, n_ctx=n_ctx, **eng_kw)
+        pre = [1] * (n_ctx - 300)      # decode spans the tail of the window
+        eng.reset_slot(0)
+        eng.prefill(0, pre)
+        eng.generate_fast([2], n_predict=256, temp=0.0, stop_on_eos=False)
+        best = 0.0
+        for _ in range(3):
+            eng.reset_slot(0)
+            eng.prefill(0, pre)
+            t0 = time.perf_counter()
+            eng.generate_fast([2], n_predict=256, temp=0.0,
+                              stop_on_eos=False)
+            best = max(best, 256 / (time.perf_counter() - t0))
+        rows.append({"n_ctx": n_ctx, "tg256": best})
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpulamm-perf-report")
     p.add_argument("-m", "--model", default=None,
@@ -111,6 +171,12 @@ def main(argv=None):
                    help="per-format end-to-end tg/pp matrix from models at "
                         "this pattern, e.g. tmp_bench/tiny11b_{fmt}.gguf "
                         "(BASELINE.md §2/§3 tables)")
+    p.add_argument("--batched", default=None, metavar="MODEL",
+                   help="aggregate decode throughput vs slot count")
+    p.add_argument("--ctx-scan", default=None, metavar="MODEL",
+                   help="tg256 vs context size")
+    p.add_argument("--skip-matmul", action="store_true",
+                   help="skip the per-format matmul GFLOPS table")
     args = p.parse_args(argv)
     if args.model is not None:
         import os
@@ -133,11 +199,12 @@ def main(argv=None):
     for q in fmts:
         if q not in REF_GFLOPS:
             p.error(f"unknown format: {q}")
-    for q in fmts:
-        g = bench_matmul(q)
-        ref = REF_GFLOPS[q]
-        lines.append(f"| {q} | {g:,.0f} | {ref} | {g / ref:,.0f}x |")
-        print(lines[-1], file=sys.stderr)
+    if not args.skip_matmul:
+        for q in fmts:
+            g = bench_matmul(q)
+            ref = REF_GFLOPS[q]
+            lines.append(f"| {q} | {g:,.0f} | {ref} | {g / ref:,.0f}x |")
+            print(lines[-1], file=sys.stderr)
     if args.model:
         r = bench_model(args.model)
         lines += ["", f"End-to-end ({args.model}):", "",
@@ -168,6 +235,21 @@ def main(argv=None):
                 f"| {q} | {r['pp512']:,.0f} | {r['tg256']:,.1f} "
                 f"| {ref_pp[q]} | {ref_tg[q]} "
                 f"| {r['tg256'] / ref_tg[q]:,.0f}x |")
+            print(lines[-1], file=sys.stderr)
+    if args.batched:
+        lines += ["", "Aggregate decode throughput vs slots "
+                  "(pp128+tg128 per slot, one chip):", "",
+                  "| slots | aggregate tok/s | per-slot tok/s |",
+                  "|---|---|---|"]
+        for r in bench_batched(args.batched):
+            lines.append(f"| {r['pl']} | {r['agg_ts']:,.0f} "
+                         f"| {r['agg_ts'] / r['pl']:,.1f} |")
+            print(lines[-1], file=sys.stderr)
+    if args.ctx_scan:
+        lines += ["", "tg256 vs context size (decode spans the window "
+                  "tail):", "", "| n_ctx | tg256 t/s |", "|---|---|"]
+        for r in bench_ctx_scaling(args.ctx_scan):
+            lines.append(f"| {r['n_ctx']} | {r['tg256']:,.1f} |")
             print(lines[-1], file=sys.stderr)
     md = "\n".join(lines) + "\n"
     if args.output:
