@@ -131,3 +131,20 @@ def test_inference_performance(dtype, tiny_model):
     _log({"test": "inference", "dtype": dtype,
           "prompt_tps": round(pp, 2), "gen_tps": round(tg, 2)})
     assert pp > 0 and tg > 0
+
+
+def test_batched_and_ctx_plumbing(tiny_model):
+    """perf_report's --batched / --ctx-scan sections run end-to-end on a
+    tiny CPU model (numbers meaningless; validates the harness)."""
+    from tpulamm.tools.convert_hf import convert_hf
+    from tpulamm.tools.perf_report import bench_batched, bench_ctx_scaling
+
+    m, d = tiny_model
+    path = os.path.join(d, "plumb.gguf")
+    if not os.path.exists(path):
+        convert_hf(m, path, qtype=GGMLType.Q8_0)
+    rows = bench_batched(path, pls=(1, 2), n_pp=4, n_tg=4, n_ctx=32)
+    assert [r["pl"] for r in rows] == [1, 2]
+    assert all(r["agg_ts"] > 0 for r in rows)
+    rows = bench_ctx_scaling(path, ctxs=(32,))
+    assert rows[0]["n_ctx"] == 32 and rows[0]["tg256"] > 0

@@ -8,6 +8,9 @@ environment reset so benchmarks stay reproducible:
                        22 layers, 32 heads / 4 kv heads, vocab 32000),
                        random weights, NO tokenizer — the end-to-end
                        pp512/tg256 bench model (BASELINE.md §2/§3 rows).
+- llama7b_{fmt}.gguf   LLaMA-7B shape (dim 4096, ffn 11008, 32 layers,
+                       MHA) — the reference's headline size (--targets
+                       llama7b; ~26 GB host RAM while building).
 - llava_lm_q4.gguf     2048-dim 4-layer Q4_0 WITH a byte-fallback SPM vocab;
                        drives any CLI (main/server/llava) on real text.
 - padtest_q4.gguf      4608-token vocab — exercises the padded-lm-head path.
@@ -112,6 +115,20 @@ def build_tiny11b(out_dir: str, formats: list[str]) -> None:
         print(f"linked {dst}", file=sys.stderr)
 
 
+def build_llama7b(out_dir: str, formats: list[str]) -> None:
+    """LLaMA-7B shape (dim 4096, ffn 11008, 32 layers, 32 heads, MHA) —
+    the reference's headline model size (README.md:684,710)."""
+    from tpulamm.tools.convert_hf import convert_hf_llama
+    sd, cfg = make_llama_sd(dim=4096, n_ff=11008, n_layers=32, n_head=32,
+                            n_kv=32, n_vocab=32000, seed=7)
+    for fmt in formats:
+        path = os.path.join(out_dir, f"llama7b_{fmt}.gguf")
+        t0 = time.time()
+        convert_hf_llama(sd, cfg, path, qtype=getattr(GGMLType, fmt.upper()))
+        print(f"wrote {path} ({os.path.getsize(path) / 1e6:.0f} MB, "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr)
+
+
 def build_llava_lm(out_dir: str) -> str:
     from tpulamm.tools.convert_hf import convert_hf_llama
     sd, cfg = make_llama_sd(dim=2048, n_ff=4096, n_layers=4, n_head=16,
@@ -189,6 +206,8 @@ def main(argv=None) -> int:
             if args.formats == "all" else args.formats.split(","))
     if "tiny11b" in targets:
         build_tiny11b(args.out, fmts)
+    if "llama7b" in targets:
+        build_llama7b(args.out, fmts)
     if "llava" in targets:
         build_llava_lm(args.out)
     if "padtest" in targets:

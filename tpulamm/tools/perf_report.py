@@ -144,18 +144,20 @@ def bench_ctx_scaling(path: str, ctxs=(512, 2048), **eng_kw) -> list[dict]:
     rows = []
     for n_ctx in ctxs:
         eng = Engine(path, n_ctx=n_ctx, **eng_kw)
-        pre = [1] * (n_ctx - 300)      # decode spans the tail of the window
+        n_gen = min(256, max(4, n_ctx // 2))
+        # decode spans the tail of the window
+        pre = [1] * max(1, n_ctx - n_gen - 44)
         eng.reset_slot(0)
         eng.prefill(0, pre)
-        eng.generate_fast([2], n_predict=256, temp=0.0, stop_on_eos=False)
+        eng.generate_fast([2], n_predict=n_gen, temp=0.0, stop_on_eos=False)
         best = 0.0
         for _ in range(3):
             eng.reset_slot(0)
             eng.prefill(0, pre)
             t0 = time.perf_counter()
-            eng.generate_fast([2], n_predict=256, temp=0.0,
+            eng.generate_fast([2], n_predict=n_gen, temp=0.0,
                               stop_on_eos=False)
-            best = max(best, 256 / (time.perf_counter() - t0))
+            best = max(best, n_gen / (time.perf_counter() - t0))
         rows.append({"n_ctx": n_ctx, "tg256": best})
     return rows
 
