@@ -164,3 +164,98 @@ def test_lookahead_matches_greedy(model_path):
                                       W=4, N=3, G=4, stop_on_eos=False)
     assert la == plain
     assert stats.n_target_steps > 0
+
+
+# -- on-device speculative decoding (whole loop in one lax.while_loop) --------
+#
+# Baseline is generate_fast (the T=1 on-device scan). The shared model_path
+# fixture is too tie-dense for cross-shape argmax stability (its greedy
+# chain already differs between generate() and decode_one()), so these
+# tests sharpen the lm head 3x: top-1 margins then dominate the ~1e-6
+# reduction-order noise between the T=1 and T=k+1 verify shapes.
+
+
+@pytest.fixture(scope="module")
+def sharp_model_path(tmp_path_factory):
+    torch.manual_seed(0)
+    m = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256))
+    m.eval()
+    with torch.no_grad():
+        m.lm_head.weight *= 3.0
+    path = str(tmp_path_factory.mktemp("spec_sharp") / "m.gguf")
+    convert_hf(m, path, qtype=GGMLType.F32)
+    return path
+
+
+def test_ondevice_spec_matches_greedy(sharp_model_path):
+    """Greedy on-device speculation emits exactly the plain-greedy tokens;
+    self-draft forces the full-acceptance path."""
+    from tpulamm.runtime.speculative import generate_speculative_fast
+    eng = Engine(sharp_model_path, n_ctx=256)
+    plain, _ = eng.generate_fast(PROMPT, n_predict=24, temp=0.0,
+                                 stop_on_eos=False)
+
+    target = Engine(sharp_model_path, n_ctx=256)
+    draft = Engine(sharp_model_path, n_ctx=256)
+    spec, _, stats = generate_speculative_fast(
+        target, draft, PROMPT, n_predict=24, n_draft=4, temp=0.0,
+        stop_on_eos=False)
+    assert spec == plain
+    assert stats.accept_rate > 0.5
+    assert stats.n_target_steps < len(spec)
+
+
+def test_ondevice_spec_bad_draft(sharp_model_path, tmp_path):
+    """Adversarial draft: rejections still yield the exact greedy output,
+    and the engines are left continuable (state contract)."""
+    from tpulamm.runtime.speculative import generate_speculative_fast
+    torch.manual_seed(321)
+    m2 = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256))
+    m2.eval()
+    dpath = str(tmp_path / "draft.gguf")
+    convert_hf(m2, dpath, qtype=GGMLType.F32)
+
+    eng = Engine(sharp_model_path, n_ctx=256)
+    plain, _ = eng.generate_fast(PROMPT, n_predict=40, temp=0.0,
+                                 stop_on_eos=False)
+
+    target = Engine(sharp_model_path, n_ctx=256)
+    draft = Engine(dpath, n_ctx=256)
+    spec, _, stats = generate_speculative_fast(
+        target, draft, PROMPT, n_predict=40, n_draft=4, temp=0.0,
+        stop_on_eos=False)
+    assert spec == plain
+    assert stats.n_drafted > 0
+    assert stats.accept_rate < 1.0   # a random draft must miss sometimes
+    # state contract: KV holds exactly the returned tokens; cell table is
+    # contiguous (rejected cells were rolled back)
+    held = int(target.n_past[0]) - len(PROMPT)
+    assert held in (len(spec), len(spec) - 1)
+    np.testing.assert_array_equal(
+        target.cell_pos[0, :int(target.n_past[0])],
+        np.arange(int(target.n_past[0])))
+
+
+def test_ondevice_spec_multi_block(sharp_model_path, monkeypatch):
+    """n_predict above one scan bucket: the host block loop continues the
+    generation across scan calls without dropping or duplicating tokens."""
+    from tpulamm.runtime.speculative import generate_speculative_fast
+    eng = Engine(sharp_model_path, n_ctx=256)
+    plain, _ = eng.generate_fast(PROMPT, n_predict=40, temp=0.0,
+                                 stop_on_eos=False)
+
+    target = Engine(sharp_model_path, n_ctx=256)
+    draft = Engine(sharp_model_path, n_ctx=256)
+    # a tiny bucket caps each scan at 8 verify steps (<= 24 tokens at
+    # n_draft=2), forcing at least two scan invocations for 40 tokens
+    monkeypatch.setattr(Engine, "DECODE_BUCKETS", (8,))
+    spec, _, _ = generate_speculative_fast(
+        target, draft, PROMPT, n_predict=40, n_draft=2, temp=0.0,
+        stop_on_eos=False)
+    assert spec == plain

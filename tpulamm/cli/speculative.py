@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temp", type=float, default=0.0)
     p.add_argument("-s", "--seed", type=int, default=-1)
     p.add_argument("--ignore-eos", action="store_true")
+    p.add_argument("--ondevice", action="store_true",
+                   help="run the whole draft/verify/accept loop on device "
+                        "(one dispatch per block; requires -md; no "
+                        "streaming)")
     return p
 
 
@@ -59,6 +63,14 @@ def main(argv=None):
             target, args.prompt, n_predict=args.n_predict, sampling=sampling,
             W=args.lookahead_w, N=args.lookahead_n, G=args.lookahead_g,
             stream=stream)
+    elif args.model_draft and args.ondevice:
+        from tpulamm.runtime.speculative import generate_speculative_fast
+        draft = Engine(args.model_draft, n_ctx=args.ctx_size)
+        _, text, stats = generate_speculative_fast(
+            target, draft, args.prompt, n_predict=args.n_predict,
+            n_draft=args.draft, temp=args.temp, seed=max(args.seed, 0),
+            stop_on_eos=not args.ignore_eos)
+        sys.stdout.write(text)
     elif args.model_draft:
         draft = Engine(args.model_draft, n_ctx=args.ctx_size)
         _, _, stats = generate_speculative(

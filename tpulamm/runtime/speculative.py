@@ -203,3 +203,193 @@ def generate_prompt_lookup(engine: Engine, prompt, *, n_predict: int = 128,
                             n_predict, eos, stop_on_eos, slot, stream)
     text = engine.tokenizer.decode(out) if engine.tokenizer else ""
     return out, text, stats
+
+
+# -- on-device speculative decoding -------------------------------------------
+#
+# The host loop above pays one device round-trip per VERIFY step (plus k
+# per draft proposal) — fine on a directly-attached chip, ruinous through a
+# tunneled transport. The TPU-native form runs the whole
+# draft -> verify -> accept cycle inside one jitted lax.while_loop:
+#
+#  - the draft model proposes k tokens with an inner lax.scan (k tiny
+#    forwards, KV written at positions pos..pos+k-1, plus one extra forward
+#    so the last proposal's KV is present if it gets accepted);
+#  - the target scores [cur] + draft in ONE (1+k)-token forward (decode is
+#    weight-streaming-bound, so this costs nearly the same as one token);
+#  - acceptance is the longest prefix where the target's own sampled choice
+#    equals the draft (speculative.cpp semantics), computed with vector ops;
+#  - REJECTED cells need no surgery: cells are indexed by position and the
+#    attention mask requires cell_pos <= qpos, so a rejected cell is either
+#    overwritten by the next verify write at the same position or causally
+#    masked until it is. Only the final loop exit rolls positions back.
+#
+# Greedy speculative decoding is OUTPUT-INVARIANT: for any draft model the
+# emitted tokens equal plain greedy decoding of the target (only the speed
+# changes). tests/test_speculative.py uses that as an exact parity gate.
+
+
+def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
+                     max_steps: int, top_k: int, greedy: bool):
+    import jax
+    import jax.numpy as jnp
+
+    cfg_t, cfg_d = target.cfg_step, draft.cfg_step
+    fwd_t, fwd_d = target._model_forward, draft._model_forward
+    k = n_draft
+    Vt, Vd = cfg_t.vocab_size, cfg_d.vocab_size
+    n_ctx = min(target.n_ctx, draft.n_ctx)
+
+    def run(params_t, cache_t, params_d, cache_d, first_tok, start_pos,
+            key, temp, eos_id, n_predict):
+        rows0 = jnp.full((max_steps, k + 1), -1, jnp.int32)
+        accs0 = jnp.zeros((max_steps,), jnp.int32)
+
+        def cond(st):
+            (_, _, _, pos, _, _, _, i, emitted, done) = st
+            return ((~done) & (i < max_steps) & (emitted < n_predict)
+                    & (pos + k + 1 <= n_ctx))
+
+        def body(st):
+            (cache_t, cache_d, tok, pos, key, rows, accs, i, emitted,
+             done) = st
+
+            def dstep(c, _):
+                cache_d, t, p = c
+                lg, cache_d = fwd_d(params_d, cfg_d, t[None, None],
+                                    p[None, None], cache_d, None,
+                                    p[None, None])
+                nt = jnp.argmax(lg[0, 0, :Vd]).astype(jnp.int32)
+                return (cache_d, nt, p + 1), nt
+
+            (cache_d, last, pd), draft_toks = jax.lax.scan(
+                dstep, (cache_d, tok, pos), None, length=k)
+            # write the last proposal's KV too (its logits are unused): if
+            # the whole draft is accepted the next cycle proposes from a
+            # context that includes it (host path replays via on_accept)
+            _, cache_d = fwd_d(params_d, cfg_d, last[None, None],
+                               pd[None, None], cache_d, None, pd[None, None])
+
+            toks = jnp.concatenate([tok[None], draft_toks])          # (k+1,)
+            poss = pos + jnp.arange(k + 1, dtype=jnp.int32)
+            logits, cache_t = fwd_t(params_t, cfg_t, toks[None],
+                                    poss[None], cache_t, None, poss[None])
+            lg = logits[0, :, :Vt]                                 # (k+1, V)
+            if greedy:
+                tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            else:
+                key, sub = jax.random.split(key)
+                subs = jax.random.split(sub, k + 1)
+                tgt = jax.vmap(
+                    lambda l, s: Engine._sample_next(
+                        l, s, temp, top_k, False)[1])(lg, subs)
+            match = tgt[:k] == draft_toks
+            n_acc = jnp.where(match.all(), k,
+                              jnp.argmax(~match)).astype(jnp.int32)
+            nxt = tgt[n_acc]
+            idx = jnp.arange(k + 1, dtype=jnp.int32)
+            row = jnp.where(idx < n_acc,
+                            jnp.concatenate([draft_toks, draft_toks[:1]]),
+                            jnp.where(idx == n_acc, nxt, -1))
+            hit_eos = jnp.any((idx <= n_acc) & (row == eos_id))
+            rows = jax.lax.dynamic_update_slice(rows, row[None], (i, 0))
+            accs = jax.lax.dynamic_update_slice(accs, n_acc[None], (i,))
+            n_emit = n_acc + 1
+            return (cache_t, cache_d, nxt, pos + n_emit, key, rows, accs,
+                    i + 1, emitted + n_emit, done | hit_eos)
+
+        st = (cache_t, cache_d, first_tok, start_pos, key, rows0, accs0,
+              jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+        (cache_t, cache_d, _, pos, _, rows, accs, n_steps, emitted,
+         _) = jax.lax.while_loop(cond, body, st)
+        return rows, accs, n_steps, pos, cache_t, cache_d
+
+    return jax.jit(run, donate_argnums=(1, 3))
+
+
+def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
+                              n_predict: int = 128, n_draft: int = 5,
+                              temp: float = 0.0, top_k: int = 40,
+                              seed: int = 0, stop_on_eos: bool = True):
+    """Draft-model speculative decoding with the whole propose/verify/accept
+    loop on device (one dispatch per generation block). Greedy (temp<=0)
+    emits exactly the tokens plain greedy decoding would; temp>0 uses the
+    speculative.cpp acceptance rule (target's own sampled choice must equal
+    the draft). Both engines must be single-slot, unmeshed, non-recurrent.
+
+    Returns (token_ids, text, SpecStats)."""
+    import jax
+    import jax.numpy as jnp
+
+    for eng, name in ((target, "target"), (draft, "draft")):
+        if eng.mesh is not None or eng.recurrent or eng.n_slots != 1:
+            raise ValueError(
+                f"{name} engine must be single-slot, unmeshed, "
+                "non-recurrent for on-device speculation")
+    tokens = _tokens(target, prompt)
+    target.reset_slot(0)
+    draft.reset_slot(0)
+    logits = target.prefill(0, tokens)
+    draft.prefill(0, tokens)
+    import time
+    t0 = time.perf_counter()
+    first = int(np.argmax(logits))
+    eos = target.tokenizer.vocab.eos_id if target.tokenizer else 2
+    greedy = temp <= 0.0
+
+    max_steps = next((b for b in Engine.DECODE_BUCKETS if b >= n_predict),
+                     Engine.DECODE_BUCKETS[-1])
+    cache_key = (id(draft), n_draft, max_steps, top_k, greedy)
+    scans = getattr(target, "_spec_scans", None)
+    if scans is None:
+        scans = target._spec_scans = {}
+    if cache_key not in scans:
+        scans[cache_key] = _build_spec_scan(target, draft, n_draft,
+                                            max_steps, top_k, greedy)
+    stats = SpecStats()
+    out = [first]
+    cur = first
+    start0 = int(target.n_past[0])
+    while len(out) < n_predict and not (stop_on_eos and eos in out):
+        startb = int(target.n_past[0])
+        rows, accs, n_steps, pos, target.cache, draft.cache = \
+            scans[cache_key](
+                target.params, target.cache, draft.params, draft.cache,
+                jnp.int32(cur), jnp.int32(startb),
+                jax.random.PRNGKey(seed + len(out)), jnp.float32(temp),
+                jnp.int32(eos if stop_on_eos else -1),
+                jnp.int32(n_predict - len(out)))
+        rows, accs = np.asarray(rows), np.asarray(accs)
+        n_steps, pos = int(n_steps), int(pos)
+        if n_steps == 0:
+            break                                    # context full
+        stats.n_target_steps += n_steps
+        stats.n_drafted += n_draft * n_steps
+        stats.n_accepted += int(accs[:n_steps].sum())
+        block = [int(t) for r in rows[:n_steps] for t in r if t >= 0]
+        # device state: positions startb..pos-1 hold [cur] + block[:-1];
+        # mirror that before the final EOS/n_predict rollback below
+        target.n_past[0] = pos
+        target.cell_pos[0, startb:pos] = np.arange(startb, pos)
+        draft.n_past[0] = pos
+        draft.cell_pos[0, startb:pos] = np.arange(startb, pos)
+        out.extend(block)
+        cur = out[-1]
+        if pos + n_draft + 1 > min(target.n_ctx, draft.n_ctx):
+            break                                    # context full
+    total_written = int(target.n_past[0]) - start0
+    out = out[:n_predict]
+    if stop_on_eos and eos in out:
+        out = out[:out.index(eos)]
+    # same post-call contract as generate_fast: KV holds exactly the
+    # returned tokens (the final token's KV may be unwritten)
+    tgt_past = start0 + min(len(out), total_written)
+    if tgt_past != int(target.n_past[0]):
+        target.rollback(0, tgt_past)
+    dr_past = min(tgt_past, int(draft.n_past[0]))
+    if dr_past != int(draft.n_past[0]):
+        draft.rollback(0, dr_past)
+    target.timings.t_eval += time.perf_counter() - t0
+    target.timings.n_eval += len(out)
+    text = target.tokenizer.decode(out) if target.tokenizer else ""
+    return out, text, stats
