@@ -259,3 +259,37 @@ def test_ondevice_spec_multi_block(sharp_model_path, monkeypatch):
         target, draft, PROMPT, n_predict=40, n_draft=2, temp=0.0,
         stop_on_eos=False)
     assert spec == plain
+
+
+def test_ondevice_lookup_matches_greedy(sharp_model_path):
+    """On-device n-gram lookup speculation: exact greedy parity (any
+    proposal source), and a repetitive prompt must yield acceptances."""
+    from tpulamm.runtime.speculative import generate_prompt_lookup_fast
+    prompt = [7, 8, 9, 10, 7, 8, 9, 10, 7, 8]
+    eng = Engine(sharp_model_path, n_ctx=256)
+    plain, _ = eng.generate_fast(prompt, n_predict=24, temp=0.0,
+                                 stop_on_eos=False)
+
+    eng2 = Engine(sharp_model_path, n_ctx=256)
+    spec, _, stats = generate_prompt_lookup_fast(
+        eng2, prompt, n_predict=24, n_draft=4, temp=0.0, stop_on_eos=False)
+    assert spec == plain
+    assert stats.n_drafted > 0
+    # greedy decode of a tiny model falls into a repeating cycle quickly;
+    # the n-gram proposer must then accept at a healthy rate
+    assert stats.n_accepted > 0
+    np.testing.assert_array_equal(
+        eng2.cell_pos[0, :int(eng2.n_past[0])],
+        np.arange(int(eng2.n_past[0])))
+
+
+def test_ondevice_lookup_no_repeats(sharp_model_path):
+    """A repeat-free prompt: proposals are rejected, output still exact."""
+    from tpulamm.runtime.speculative import generate_prompt_lookup_fast
+    eng = Engine(sharp_model_path, n_ctx=256)
+    plain, _ = eng.generate_fast(PROMPT, n_predict=16, temp=0.0,
+                                 stop_on_eos=False)
+    eng2 = Engine(sharp_model_path, n_ctx=256)
+    spec, _, _ = generate_prompt_lookup_fast(
+        eng2, PROMPT, n_predict=16, n_draft=4, temp=0.0, stop_on_eos=False)
+    assert spec == plain

@@ -36,8 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--ondevice", action="store_true",
                    help="run the whole draft/verify/accept loop on device "
-                        "(one dispatch per block; requires -md; no "
-                        "streaming)")
+                        "(one dispatch per block; no streaming). With -md "
+                        "uses the draft model, without -md uses n-gram "
+                        "prompt lookup")
     return p
 
 
@@ -63,6 +64,14 @@ def main(argv=None):
             target, args.prompt, n_predict=args.n_predict, sampling=sampling,
             W=args.lookahead_w, N=args.lookahead_n, G=args.lookahead_g,
             stream=stream)
+    elif args.ondevice and not args.model_draft:
+        from tpulamm.runtime.speculative import generate_prompt_lookup_fast
+        _, text, stats = generate_prompt_lookup_fast(
+            target, args.prompt, n_predict=args.n_predict,
+            n_draft=args.draft, ngram_min=args.ngram_min,
+            ngram_max=args.ngram_max, temp=args.temp,
+            seed=max(args.seed, 0), stop_on_eos=not args.ignore_eos)
+        sys.stdout.write(text)
     elif args.model_draft and args.ondevice:
         from tpulamm.runtime.speculative import generate_speculative_fast
         draft = Engine(args.model_draft, n_ctx=args.ctx_size)

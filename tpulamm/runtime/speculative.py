@@ -393,3 +393,179 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
     target.timings.n_eval += len(out)
     text = target.tokenizer.decode(out) if target.tokenizer else ""
     return out, text, stats
+
+
+# -- on-device prompt-lookup speculation ---------------------------------------
+#
+# lookup.cpp's n-gram drafting with ZERO drafting cost on device: proposals
+# come from a vectorized match of the most recent n-gram against a history
+# buffer (one VPU compare sweep per gram size), so a verify cycle costs one
+# (1+k)-token target forward — the speedup is purely tokens-per-verify.
+# When no n-gram matches, the proposal is all-zeros and simply gets
+# rejected (greedy output-invariance holds for ANY proposal source).
+
+
+def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
+                       top_k: int, greedy: bool, ngram_min: int,
+                       ngram_max: int):
+    import jax
+    import jax.numpy as jnp
+
+    cfg_t = target.cfg_step
+    fwd_t = target._model_forward
+    k = n_draft
+    Vt = cfg_t.vocab_size
+    n_ctx = target.n_ctx
+
+    def propose(h, tok, pos):
+        """Latest earlier occurrence of the longest tail n-gram; copy the
+        k tokens that followed it (find_ngram_draft semantics)."""
+        h = h.at[pos].set(tok)
+        idx = jnp.arange(n_ctx, dtype=jnp.int32)
+        cand = jnp.zeros((k,), jnp.int32)
+        found = jnp.bool_(False)
+        for g in range(ngram_max, ngram_min - 1, -1):     # longest first
+            tail = jax.lax.dynamic_slice(h, (pos - g + 1,), (g,))
+            eq = jnp.ones((n_ctx,), bool)
+            for j in range(g):
+                eq &= jnp.roll(h, -j) == tail[j]
+            # match must end before pos and the tail must exist at all
+            valid = eq & (idx <= pos - g) & (pos + 1 >= g)
+            best = jnp.max(jnp.where(valid, idx, -1))
+            cont = jax.lax.dynamic_slice(
+                h, (jnp.maximum(best, 0) + g,), (k,))
+            hit = best >= 0
+            cand = jnp.where(~found & hit, cont, cand)
+            found = found | hit
+        return h, cand
+
+    def run(params_t, cache_t, h, first_tok, start_pos, key, temp,
+            eos_id, n_predict):
+        rows0 = jnp.full((max_steps, k + 1), -1, jnp.int32)
+        accs0 = jnp.zeros((max_steps,), jnp.int32)
+
+        def cond(st):
+            (_, _, _, pos, _, _, _, i, emitted, done) = st
+            return ((~done) & (i < max_steps) & (emitted < n_predict)
+                    & (pos + k + 1 <= n_ctx))
+
+        def body(st):
+            (cache_t, h, tok, pos, key, rows, accs, i, emitted, done) = st
+            h, draft_toks = propose(h, tok, pos)
+
+            toks = jnp.concatenate([tok[None], draft_toks])          # (k+1,)
+            poss = pos + jnp.arange(k + 1, dtype=jnp.int32)
+            logits, cache_t = fwd_t(params_t, cfg_t, toks[None],
+                                    poss[None], cache_t, None, poss[None])
+            lg = logits[0, :, :Vt]                                 # (k+1, V)
+            if greedy:
+                tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            else:
+                key, sub = jax.random.split(key)
+                subs = jax.random.split(sub, k + 1)
+                tgt = jax.vmap(
+                    lambda l, s: Engine._sample_next(
+                        l, s, temp, top_k, False)[1])(lg, subs)
+            match = tgt[:k] == draft_toks
+            n_acc = jnp.where(match.all(), k,
+                              jnp.argmax(~match)).astype(jnp.int32)
+            nxt = tgt[n_acc]
+            idx = jnp.arange(k + 1, dtype=jnp.int32)
+            row = jnp.where(idx < n_acc,
+                            jnp.concatenate([draft_toks, draft_toks[:1]]),
+                            jnp.where(idx == n_acc, nxt, -1))
+            hit_eos = jnp.any((idx <= n_acc) & (row == eos_id))
+            rows = jax.lax.dynamic_update_slice(rows, row[None], (i, 0))
+            accs = jax.lax.dynamic_update_slice(accs, n_acc[None], (i,))
+            # emitted tokens land at h[pos+1 .. pos+1+n_acc]
+            h = h.at[jnp.where(idx <= n_acc, pos + 1 + idx, n_ctx)].set(
+                row, mode="drop")
+            n_emit = n_acc + 1
+            return (cache_t, h, nxt, pos + n_emit, key, rows, accs,
+                    i + 1, emitted + n_emit, done | hit_eos)
+
+        st = (cache_t, h, first_tok, start_pos, key, rows0, accs0,
+              jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+        (cache_t, h, _, pos, _, rows, accs, n_steps, emitted,
+         _) = jax.lax.while_loop(cond, body, st)
+        return rows, accs, n_steps, pos, cache_t
+
+    return jax.jit(run, donate_argnums=(1, 2))
+
+
+def generate_prompt_lookup_fast(engine: Engine, prompt, *,
+                                n_predict: int = 128, n_draft: int = 5,
+                                ngram_min: int = 1, ngram_max: int = 4,
+                                temp: float = 0.0, top_k: int = 40,
+                                seed: int = 0, stop_on_eos: bool = True):
+    """Prompt n-gram speculative decoding with the whole loop on device
+    (lookup.cpp parity, zero drafting cost). Greedy output is identical to
+    plain greedy decoding. Returns (token_ids, text, SpecStats)."""
+    import jax
+    import jax.numpy as jnp
+
+    if engine.mesh is not None or engine.recurrent or engine.n_slots != 1:
+        raise ValueError("engine must be single-slot, unmeshed, "
+                         "non-recurrent for on-device speculation")
+    tokens = _tokens(engine, prompt)
+    engine.reset_slot(0)
+    logits = engine.prefill(0, tokens)
+    import time
+    t0 = time.perf_counter()
+    first = int(np.argmax(logits))
+    eos = engine.tokenizer.vocab.eos_id if engine.tokenizer else 2
+    greedy = temp <= 0.0
+
+    max_steps = next((b for b in Engine.DECODE_BUCKETS if b >= n_predict),
+                     Engine.DECODE_BUCKETS[-1])
+    cache_key = ("lookup", n_draft, ngram_min, ngram_max, max_steps,
+                 top_k, greedy)
+    scans = getattr(engine, "_spec_scans", None)
+    if scans is None:
+        scans = engine._spec_scans = {}
+    if cache_key not in scans:
+        scans[cache_key] = _build_lookup_scan(engine, n_draft, max_steps,
+                                              top_k, greedy, ngram_min,
+                                              ngram_max)
+    stats = SpecStats()
+    out = [first]
+    cur = first
+    history = list(tokens)          # tokens BEFORE the current position
+    start0 = int(engine.n_past[0])
+    while len(out) < n_predict and not (stop_on_eos and eos in out):
+        startb = int(engine.n_past[0])
+        h = np.zeros(engine.n_ctx, np.int32)
+        h[:len(history)] = history
+        rows, accs, n_steps, pos, engine.cache = scans[cache_key](
+            engine.params, engine.cache, jnp.asarray(h),
+            jnp.int32(cur), jnp.int32(startb),
+            jax.random.PRNGKey(seed + len(out)), jnp.float32(temp),
+            jnp.int32(eos if stop_on_eos else -1),
+            jnp.int32(n_predict - len(out)))
+        rows, accs = np.asarray(rows), np.asarray(accs)
+        n_steps, pos = int(n_steps), int(pos)
+        if n_steps == 0:
+            break                                    # context full
+        stats.n_target_steps += n_steps
+        stats.n_drafted += n_draft * n_steps
+        stats.n_accepted += int(accs[:n_steps].sum())
+        block = [int(t) for r in rows[:n_steps] for t in r if t >= 0]
+        engine.n_past[0] = pos
+        engine.cell_pos[0, startb:pos] = np.arange(startb, pos)
+        history.append(cur)
+        history.extend(block[:-1])   # block[-1] is the new carry token
+        out.extend(block)
+        cur = out[-1]
+        if pos + n_draft + 1 > engine.n_ctx:
+            break                                    # context full
+    total_written = int(engine.n_past[0]) - start0
+    out = out[:n_predict]
+    if stop_on_eos and eos in out:
+        out = out[:out.index(eos)]
+    tgt_past = start0 + min(len(out), total_written)
+    if tgt_past != int(engine.n_past[0]):
+        engine.rollback(0, tgt_past)
+    engine.timings.t_eval += time.perf_counter() - t0
+    engine.timings.n_eval += len(out)
+    text = engine.tokenizer.decode(out) if engine.tokenizer else ""
+    return out, text, stats

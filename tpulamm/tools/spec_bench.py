@@ -1,0 +1,156 @@
+"""Speculative-decoding benchmark on a REAL trained model pair.
+
+Single-stream decode is weight-streaming/dequant-bound (PERF.md decode
+floor analysis: ~1.35 ms/step ceiling on the 1.1B at ctx 512). Speculative
+decoding is the structural way past it: one target verify step scores k+1
+tokens for ~one token's weight traffic, so effective tok/s multiplies by
+the mean emitted-per-step (1 + accepted). Random-weight bench models have
+meaningless acceptance, so this tool trains a small target + a ~20x
+smaller draft on the same local prose corpus (the quality_table corpus)
+and measures:
+
+  - plain tg (generate_fast, on-device T=1 scan) on the target,
+  - on-device speculative tg (runtime.speculative.generate_speculative_fast)
+    at several draft lengths, with real acceptance rates,
+
+on held-out text prompts. Reference analogue: examples/speculative
+(speculative.cpp) whose win likewise depends on a real model pair.
+
+    python -m tpulamm.tools.spec_bench [--steps 1500] [-o spec_bench.json]
+
+Models are cached in tmp_bench/ (spec_target_f32.gguf, spec_draft_f32.gguf,
+spec_target_q4_0.gguf); delete to retrain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def ensure_models(steps: int, out_dir: str = "tmp_bench", log=print):
+    from tpulamm.cli.quantize import quantize_file
+    from tpulamm.gguf.constants import GGMLType
+    from tpulamm.tools.quality_table import build_corpus, train_model
+
+    tgt = os.path.join(out_dir, "spec_target_f32.gguf")
+    drf = os.path.join(out_dir, "spec_draft_f32.gguf")
+    tgt_q4 = os.path.join(out_dir, "spec_target_q4_0.gguf")
+    corpus = build_corpus()
+    if not os.path.exists(tgt):
+        # same shape as the quality-table model (dim 512, 8 layers, ~30M)
+        train_model(tgt, n_steps=steps, corpus=corpus, log=log)
+    if not os.path.exists(drf):
+        # ~15x smaller draft: dim 256, 2 layers (64-dim heads keep the
+        # lanes full) — k proposals cost well under one target step
+        train_model(drf, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+                    ffn=704, n_steps=steps, corpus=corpus, log=log)
+    if not os.path.exists(tgt_q4):
+        quantize_file(tgt, tgt_q4, GGMLType.Q4_0)
+    return tgt, drf, tgt_q4, corpus
+
+
+def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
+               n_predict: int = 256, drafts=(0, 3, 5, 8), n_ctx: int = 1024,
+               lookup: bool = True, log=print) -> list[dict]:
+    from tpulamm.runtime.engine import Engine
+    from tpulamm.runtime.speculative import (generate_prompt_lookup_fast,
+                                             generate_speculative_fast)
+
+    target = Engine(tgt_path, n_ctx=n_ctx)
+    draft = Engine(drf_path, n_ctx=n_ctx)
+    # held-out prompt: tail 5% of the corpus (train used the first 95%)
+    tail = corpus[int(len(corpus) * 0.95):]
+    prompt = tail[1000:1250].decode("utf-8", "replace")
+
+    rows = []
+    if lookup:
+        for k in drafts:
+            if k == 0:
+                continue
+            generate_prompt_lookup_fast(target, prompt, n_predict=n_predict,
+                                        n_draft=k, temp=0.0,
+                                        stop_on_eos=False)          # warm
+            best, st = 0.0, None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out, _, stats = generate_prompt_lookup_fast(
+                    target, prompt, n_predict=n_predict, n_draft=k,
+                    temp=0.0, stop_on_eos=False)
+                ts = len(out) / (time.perf_counter() - t0)
+                if ts > best:
+                    best, st = ts, stats
+            rows.append({"n_draft": k, "tok_s": best,
+                         "accept": st.accept_rate,
+                         "tok_per_step": 1 + st.n_accepted
+                         / max(st.n_target_steps, 1),
+                         "mode": "on-device prompt lookup"})
+            log(json.dumps(rows[-1]))
+    for k in drafts:
+        if k == 0:
+            target.reset_slot(0)
+            target.generate_fast(prompt, n_predict=n_predict, temp=0.0,
+                                 stop_on_eos=False)      # warm compile
+            best = 0.0
+            for _ in range(3):
+                target.reset_slot(0)
+                t0 = time.perf_counter()
+                out, _ = target.generate_fast(prompt, n_predict=n_predict,
+                                              temp=0.0, stop_on_eos=False)
+                best = max(best, len(out) / (time.perf_counter() - t0))
+            rows.append({"n_draft": 0, "tok_s": best, "accept": None,
+                         "mode": "plain generate_fast"})
+        else:
+            generate_speculative_fast(target, draft, prompt,
+                                      n_predict=n_predict, n_draft=k,
+                                      temp=0.0, stop_on_eos=False)  # warm
+            best, st = 0.0, None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out, _, stats = generate_speculative_fast(
+                    target, draft, prompt, n_predict=n_predict, n_draft=k,
+                    temp=0.0, stop_on_eos=False)
+                ts = len(out) / (time.perf_counter() - t0)
+                if ts > best:
+                    best, st = ts, stats
+            rows.append({"n_draft": k, "tok_s": best,
+                         "accept": st.accept_rate,
+                         "tok_per_step": 1 + st.n_accepted
+                         / max(st.n_target_steps, 1),
+                         "mode": "on-device speculative"})
+        log(json.dumps(rows[-1]))
+    return rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tpulamm-spec-bench")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("-n", "--n-predict", type=int, default=256)
+    p.add_argument("--drafts", default="0,3,5,8")
+    p.add_argument("--f32", action="store_true",
+                   help="bench the f32 target instead of Q4_0")
+    p.add_argument("-m", "--model", default=None,
+                   help="override the target GGUF (still uses the trained "
+                        "draft + corpus prompt)")
+    p.add_argument("--no-lookup", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    args = p.parse_args(argv)
+    tgt, drf, tgt_q4, corpus = ensure_models(args.steps)
+    target = args.model or (tgt if args.f32 else tgt_q4)
+    rows = bench_pair(target, drf, corpus, n_predict=args.n_predict,
+                      lookup=not args.no_lookup,
+                      drafts=tuple(int(x) for x in args.drafts.split(",")))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(rows, f, indent=1)
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
