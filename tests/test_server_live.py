@@ -301,3 +301,48 @@ def test_stop_sequence_cross_piece_trim(server):
     obj = json.loads(body)
     assert obj["content"] == full[:2], (obj["content"], full, stop)
     assert stop not in obj["content"]
+
+
+def test_response_format_json_object(server):
+    st, body = _post(server, "/v1/chat/completions",
+                     {"messages": [{"role": "user", "content": "json"}],
+                      "max_tokens": 48, "temperature": 0.0,
+                      "response_format": {"type": "json_object"}})
+    obj = json.loads(body)
+    assert st == 200
+    text = obj["choices"][0]["message"]["content"]
+    if obj["choices"][0]["finish_reason"] == "stop":
+        json.loads(text)            # complete -> must be valid JSON
+    else:
+        assert text.lstrip()[:1] in '{["-0123456789tfn'
+
+
+def test_response_format_json_schema(server):
+    schema = {"type": "object",
+              "properties": {"ok": {"type": "boolean"}},
+              "required": ["ok"]}
+    st, body = _post(server, "/v1/chat/completions",
+                     {"messages": [{"role": "user", "content": "j"}],
+                      "max_tokens": 32, "temperature": 0.0,
+                      "response_format": {
+                          "type": "json_schema",
+                          "json_schema": {"schema": schema}}})
+    obj = json.loads(body)
+    assert st == 200
+    text = obj["choices"][0]["message"]["content"]
+    if obj["choices"][0]["finish_reason"] == "stop":
+        doc = json.loads(text)
+        assert isinstance(doc.get("ok"), bool)
+    else:
+        assert text.startswith("{")
+    # malformed schema -> 400 on the request, server stays alive
+    st2 = None
+    try:
+        st2, _ = _post(server, "/completion",
+                       {"prompt": "x", "n_predict": 4,
+                        "json_schema": {"type": "frobnicate"}})
+    except urllib.error.HTTPError as e:
+        st2 = e.code
+    assert st2 == 400
+    st3, _ = _get(server, "/health")
+    assert st3 == 200

@@ -490,9 +490,25 @@ def make_handler(sched: Scheduler, model_name: str):
             stop = body.get("stop") or []
             if isinstance(stop, str):
                 stop = [stop]
+            grammar = body.get("grammar")
+            rf = body.get("response_format") or {}
+            schema = body.get("json_schema") or (
+                (rf.get("json_schema") or {}).get("schema")
+                if rf.get("type") == "json_schema" else None)
+            if grammar is None and (schema is not None
+                                    or rf.get("type") == "json_object"):
+                # OpenAI response_format -> GBNF constraint
+                from tpulamm.grammar.json_schema import (json_grammar,
+                                                         schema_to_grammar)
+                try:
+                    grammar = (schema_to_grammar(schema)
+                               if schema is not None else json_grammar())
+                except ValueError as e:
+                    self._json(400, {"error": f"bad json_schema: {e}"})
+                    return
             req = Request(prompt=prompt, params=self._params_from(body),
                           n_predict=n_predict, stream=stream,
-                          grammar=body.get("grammar"),
+                          grammar=grammar,
                           stop_strs=[str(x) for x in stop])
             if body.get("rid"):
                 req.rid = str(body["rid"])   # client-chosen id -> /cancel
