@@ -172,3 +172,64 @@ def test_lora_apply_at_load_quantized(tmp_path):
     # lora engine should be closer to merged-ref than base engine is
     assert np.abs(lg_lora - ref).mean() < np.abs(lg_base - ref).mean()
     del base_ref
+
+
+def test_export_lora_cli(tmp_path):
+    """export-lora parity (examples/export-lora): baked-in adapter output
+    equals the load-time --lora path; scales accumulate; unmatched tensors
+    pass through byte-identical."""
+    from tpulamm.cli.export_lora import export_lora, main as export_main
+    from tpulamm.cli.quantize import quantize_file
+    from tpulamm.gguf.constants import GGMLType
+    from tpulamm.gguf.reader import GGUFReader
+    from tpulamm.runtime.engine import Engine
+
+    cfg = ModelConfig(arch="llama", vocab_size=128, dim=256, n_layers=1,
+                      n_heads=4, n_kv_heads=4, ffn_dim=256, n_ctx_train=64,
+                      norm_eps=1e-5, rope=RopeParams(n_rot=64),
+                      compute_dtype="float32")
+    params = init_params(cfg, seed=7)
+    f32 = str(tmp_path / "base.gguf")
+    save_params_gguf(params, cfg, f32)
+    q4 = str(tmp_path / "base_q4.gguf")
+    quantize_file(f32, q4, GGMLType.Q4_0, verbose=False)
+
+    rng = np.random.default_rng(1)
+    lora = init_lora(params, r=4, alpha=8, targets=("wq", "w_up"))
+    for layer in lora["layers"]:
+        for key in layer:
+            layer[key]["b"] = jnp.asarray(
+                rng.normal(0, 0.05, layer[key]["b"].shape), jnp.float32)
+    lpath = str(tmp_path / "ad.gguf")
+    save_lora_gguf(lora, lpath)
+
+    out = str(tmp_path / "merged.gguf")
+    export_lora(q4, out, [(lpath, 1.0)], verbose=False)
+
+    # baked == applied-at-load (identical dequant->delta->requant path)
+    lg_exp = Engine(out, n_ctx=32, compute_dtype="float32").prefill(
+        0, [1, 2, 3])
+    lg_load = Engine(q4, n_ctx=32, compute_dtype="float32",
+                     lora_path=lpath).prefill(0, [1, 2, 3])
+    np.testing.assert_allclose(lg_exp, lg_load, rtol=1e-5, atol=1e-5)
+
+    # two half-scale applications == one full-scale application
+    out2 = str(tmp_path / "merged2.gguf")
+    assert export_main(["-m", q4, "-o", out2, "-s", lpath, "0.5",
+                        "-s", lpath, "0.5", "-q"]) == 0
+    ra, rb = GGUFReader(out), GGUFReader(out2)
+    for name, info in ra.tensors.items():
+        np.testing.assert_array_equal(np.asarray(info.data),
+                                      np.asarray(rb.tensors[name].data),
+                                      err_msg=name)
+    # unmatched tensors byte-identical to the base
+    rq = GGUFReader(q4)
+    norm = [n for n in rq.tensors if "norm" in n][0]
+    np.testing.assert_array_equal(np.asarray(rq.tensors[norm].data),
+                                  np.asarray(ra.tensors[norm].data))
+    ra.close(), rb.close(), rq.close()
+
+    # non-adapter file -> clear error
+    with pytest.raises(ValueError):
+        export_lora(q4, str(tmp_path / "x.gguf"), [(q4, 1.0)],
+                    verbose=False)
