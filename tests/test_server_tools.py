@@ -210,3 +210,42 @@ def test_server_fast_block_path(server):
                {"prompt": "the cat", "n_predict": 13, "temperature": 0.0,
                 "repeat_penalty": 1.0})
     assert r2["content"] == r["content"]
+
+
+def _scrape_metric(server, name):
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        for line in r.read().decode().splitlines():
+            if line.startswith(name + " "):
+                return float(line.split()[-1])
+    return None
+
+
+def test_server_cache_prompt(server):
+    """cache_prompt (server.cpp:97,1880): a repeated prompt reuses the
+    slot's KV prefix — identical greedy output, cached-token metric grows —
+    and a multi-turn continuation reuses prompt + generated history."""
+    base = _scrape_metric(server, "llamacpp:prompt_cached_tokens_total")
+    p = {"prompt": "the quick brown fox", "n_predict": 8,
+         "temperature": 0.0, "repeat_penalty": 1.0, "cache_prompt": True}
+    r1 = _post(server + "/completion", p)
+    c1 = _scrape_metric(server, "llamacpp:prompt_cached_tokens_total")
+    r2 = _post(server + "/completion", p)
+    c2 = _scrape_metric(server, "llamacpp:prompt_cached_tokens_total")
+    assert r2["content"] == r1["content"]          # rollback+partial prefill
+    assert c2 > c1 >= base                         # second hit reused prefix
+    # multi-turn: old prompt + a short continuation as the new prompt
+    # prefix (kept under the n_ctx keep limit so no front-truncation)
+    r3 = _post(server + "/completion",
+               dict(p, prompt=p["prompt"] + r1["content"][:8]))
+    c3 = _scrape_metric(server, "llamacpp:prompt_cached_tokens_total")
+    assert c3 > c2
+    assert isinstance(r3["content"], str) and r3["tokens_predicted"] == 8
+    # an over-long prompt is front-truncated -> prefix correctly invalid
+    r5 = _post(server + "/completion",
+               dict(p, prompt=p["prompt"] + "z" * 200))
+    assert r5["tokens_predicted"] == 8
+    # cache off -> unchanged counter, same greedy output
+    r4 = _post(server + "/completion", dict(p, cache_prompt=False))
+    c4 = _scrape_metric(server, "llamacpp:prompt_cached_tokens_total")
+    assert c4 == c3
+    assert r4["content"] == r1["content"]

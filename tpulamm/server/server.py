@@ -38,6 +38,7 @@ class Request:
     stream: bool
     embed: bool = False          # embedding request (pooled hidden states)
     grammar: str | None = None   # GBNF constraint (server "grammar" param)
+    cache_prompt: bool = False   # reuse the slot's KV prefix (server.cpp:97)
     stop_strs: list = field(default_factory=list)  # server.cpp "stop" 
     out: "queue.Queue" = field(default_factory=queue.Queue)
     rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
@@ -55,6 +56,10 @@ class SlotState:
     prompt_len: int = 0
     t_start: float = 0.0
     text_tail: str = ""          # rolling tail for stop-sequence matching
+    # tokens FED to the engine on this slot (prompt + carried generations);
+    # survives request completion so cache_prompt can reuse the KV prefix
+    # (server_slot.cache_tokens, server.cpp:1880)
+    hist: list = field(default_factory=list)
 
 
 class Metrics:
@@ -69,6 +74,8 @@ class Metrics:
         # blocks; slow = per-token host-sampled steps (penalties/grammar)
         self.fast_blocks = 0
         self.slow_steps = 0
+        # prompt tokens satisfied from a cached KV prefix (cache_prompt)
+        self.cached_prompt_tokens = 0
 
     def render(self) -> str:
         # prometheus text format (server.cpp /metrics parity)
@@ -86,7 +93,10 @@ class Metrics:
             "# TYPE llamacpp:decode_fast_blocks_total counter\n"
             f"llamacpp:decode_fast_blocks_total {self.fast_blocks}\n"
             "# TYPE llamacpp:decode_slow_steps_total counter\n"
-            f"llamacpp:decode_slow_steps_total {self.slow_steps}\n")
+            f"llamacpp:decode_slow_steps_total {self.slow_steps}\n"
+            "# TYPE llamacpp:prompt_cached_tokens_total counter\n"
+            f"llamacpp:prompt_cached_tokens_total "
+            f"{self.cached_prompt_tokens}\n")
 
 
 class Scheduler(threading.Thread):
@@ -171,6 +181,7 @@ class Scheduler(threading.Thread):
                 slot.req = None
                 slot.sampler = None
                 slot.next_tok = None
+                slot.hist = []
 
     def _assign_one(self, i: int, req: Request):
         slot = self.slots[i]
@@ -188,6 +199,7 @@ class Scheduler(threading.Thread):
             # current scale; a dedicated embed lane is future work.
             vec = eng.embed(req.prompt, slot=i)
             eng.reset_slot(i)
+            slot.hist = []
             self.requests.pop(req.rid, None)
             req.out.put(("embedding", vec.tolist(), None))
             return
@@ -203,7 +215,23 @@ class Scheduler(threading.Thread):
             keep = eng.n_ctx - 2
         if len(tokens) > keep:
             tokens = tokens[-keep:]
-        eng.reset_slot(i)
+        # cache_prompt (server.cpp:1880): reuse the KV prefix this slot
+        # already holds when it matches the new prompt. Only valid while
+        # the engine state still mirrors slot.hist exactly (no context
+        # shift happened: cells contiguous, n_past == len(hist)).
+        common = 0
+        if req.cache_prompt and slot.hist and not eng.recurrent:
+            n_hist = len(slot.hist)
+            if (int(eng.n_past[i]) == n_hist and np.array_equal(
+                    eng.cell_pos[i, :n_hist], np.arange(n_hist))):
+                limit = min(n_hist, len(tokens) - 1)  # eval >=1 for logits
+                while common < limit and slot.hist[common] == tokens[common]:
+                    common += 1
+        if common > 0:
+            eng.rollback(i, common)
+        else:
+            eng.reset_slot(i)
+        slot.hist = list(tokens)
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
         grammar = pieces = None
         if getattr(req, "grammar", None):
@@ -220,9 +248,10 @@ class Scheduler(threading.Thread):
         slot.prompt_len = len(tokens)
         slot.text_tail = ""
         slot.t_start = time.perf_counter()
-        logits = eng.prefill(i, tokens)
+        logits = eng.prefill(i, tokens[common:])
         with self.metrics.lock:
-            self.metrics.prompt_tokens += len(tokens)
+            self.metrics.prompt_tokens += len(tokens) - common
+            self.metrics.cached_prompt_tokens += common
         self._sample_and_emit(i, logits)
 
     def _top_probs(self, logits: np.ndarray, n: int, sampled: int) -> dict:
@@ -338,6 +367,9 @@ class Scheduler(threading.Thread):
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
         for i, toks in blocks.items():
             slot = self.slots[i]
+            # engine fed the carry token + all but the last sample
+            slot.hist.append(active[i])
+            slot.hist.extend(toks[:-1])
             done_at = None
             for j, tok in enumerate(toks):
                 if tok == eos and not slot.req.params.ignore_eos:
@@ -395,6 +427,8 @@ class Scheduler(threading.Thread):
                 continue
             with self.metrics.lock:
                 self.metrics.slow_steps += 1
+            for i, t in active.items():
+                self.slots[i].hist.append(t)
             logits = self.engine.decode_batch(active)
             for i, lg in logits.items():
                 self._sample_and_emit(i, lg)
@@ -509,6 +543,7 @@ def make_handler(sched: Scheduler, model_name: str):
             req = Request(prompt=prompt, params=self._params_from(body),
                           n_predict=n_predict, stream=stream,
                           grammar=grammar,
+                          cache_prompt=bool(body.get("cache_prompt", False)),
                           stop_strs=[str(x) for x in stop])
             if body.get("rid"):
                 req.rid = str(body["rid"])   # client-chosen id -> /cancel
