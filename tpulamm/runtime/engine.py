@@ -1097,6 +1097,13 @@ class Engine:
             remaining = n_predict - len(out)
             n = next((b for b in self.DECODE_BUCKETS if b >= remaining),
                      self.DECODE_BUCKETS[-1])
+            if n - remaining > 32:
+                # a scan always runs its full bucket and over-run steps are
+                # rolled back as pure waste (~1 model step each); past ~32
+                # wasted steps, splitting into an exact smaller block + a
+                # follow-up dispatch is cheaper (e.g. n_predict 272:
+                # 256+16 = 0 waste vs one 512 bucket = 240 wasted steps)
+                n = max(b for b in self.DECODE_BUCKETS if b <= remaining)
             n = min(n, self.n_ctx - int(self.n_past[slot]) - 1)
             if n <= 0:
                 break                    # context full

@@ -417,16 +417,23 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
     Vt = cfg_t.vocab_size
     n_ctx = target.n_ctx
 
+    # history buffer is padded past n_ctx so every in-scan write is a
+    # CONTIGUOUS dynamic_update_slice — a masked scatter here measured
+    # ~0.9 ms/step on v5e (XLA's dynamic-index scatter lowering), wiping
+    # out the speculation win; padding slots hold -1 which never matches
+    # a real token id
+    H = n_ctx + n_draft + 2
+
     def propose(h, tok, pos):
         """Latest earlier occurrence of the longest tail n-gram; copy the
         k tokens that followed it (find_ngram_draft semantics)."""
-        h = h.at[pos].set(tok)
-        idx = jnp.arange(n_ctx, dtype=jnp.int32)
+        h = jax.lax.dynamic_update_slice(h, tok[None], (pos,))
+        idx = jnp.arange(H, dtype=jnp.int32)
         cand = jnp.zeros((k,), jnp.int32)
         found = jnp.bool_(False)
         for g in range(ngram_max, ngram_min - 1, -1):     # longest first
             tail = jax.lax.dynamic_slice(h, (pos - g + 1,), (g,))
-            eq = jnp.ones((n_ctx,), bool)
+            eq = jnp.ones((H,), bool)
             for j in range(g):
                 eq &= jnp.roll(h, -j) == tail[j]
             # match must end before pos and the tail must exist at all
@@ -477,9 +484,11 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
             hit_eos = jnp.any((idx <= n_acc) & (row == eos_id))
             rows = jax.lax.dynamic_update_slice(rows, row[None], (i, 0))
             accs = jax.lax.dynamic_update_slice(accs, n_acc[None], (i,))
-            # emitted tokens land at h[pos+1 .. pos+1+n_acc]
-            h = h.at[jnp.where(idx <= n_acc, pos + 1 + idx, n_ctx)].set(
-                row, mode="drop")
+            # emitted tokens land at h[pos+1 .. pos+1+n_acc]; the row's -1
+            # padding beyond n_acc overwrites only not-yet-reached slots
+            # (always re-written before pos passes them), so one contiguous
+            # update replaces the masked scatter
+            h = jax.lax.dynamic_update_slice(h, row, (pos + 1,))
             n_emit = n_acc + 1
             return (cache_t, h, nxt, pos + n_emit, key, rows, accs,
                     i + 1, emitted + n_emit, done | hit_eos)
@@ -534,7 +543,8 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
     start0 = int(engine.n_past[0])
     while len(out) < n_predict and not (stop_on_eos and eos in out):
         startb = int(engine.n_past[0])
-        h = np.zeros(engine.n_ctx, np.int32)
+        # padded so in-scan writes are contiguous; -1 never matches a token
+        h = np.full(engine.n_ctx + n_draft + 2, -1, np.int32)
         h[:len(history)] = history
         rows, accs, n_steps, pos, engine.cache = scans[cache_key](
             engine.params, engine.cache, jnp.asarray(h),
