@@ -249,3 +249,41 @@ def test_server_cache_prompt(server):
     c4 = _scrape_metric(server, "llamacpp:prompt_cached_tokens_total")
     assert c4 == c3
     assert r4["content"] == r1["content"]
+
+
+def test_server_infill_and_slots(model_path):
+    """POST /infill (FIM prompt from the model's special tokens) and
+    GET /slots (per-slot state), server.cpp endpoint parity."""
+    from tpulamm.server.server import serve
+    started = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(model_path,),
+        kwargs=dict(port=0, n_slots=1, n_ctx=64, started=started),
+        daemon=True)
+    th.start()
+    assert started.wait(timeout=300)
+    base = f"http://127.0.0.1:{started.httpd.server_port}"
+    try:
+        # model has no FIM tokens -> clean 400, server stays alive
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/infill",
+                  {"input_prefix": "a", "input_suffix": "b"})
+        assert ei.value.code == 400
+        # inject FIM token ids (synthetic model: any valid ids work)
+        md = started.sched.engine.metadata
+        md["tokenizer.ggml.prefix_token_id"] = 5
+        md["tokenizer.ggml.suffix_token_id"] = 6
+        md["tokenizer.ggml.middle_token_id"] = 7
+        r = _post(base + "/infill",
+                  {"input_prefix": "the quick", "input_suffix": "fox",
+                   "n_predict": 6, "temperature": 0.0})
+        assert r["tokens_predicted"] == 6 and isinstance(r["content"], str)
+        with urllib.request.urlopen(base + "/slots", timeout=60) as resp:
+            slots = json.loads(resp.read())
+        assert len(slots) == 1 and slots[0]["id"] == 0
+        assert slots[0]["state"] == 0 and slots[0]["n_past"] > 0
+        assert slots[0]["cache_tokens"] >= 0
+    finally:
+        started.sched.running = False
+        started.httpd.shutdown()

@@ -476,6 +476,18 @@ def make_handler(sched: Scheduler, model_name: str):
                 self._json(200, {"object": "list", "data": [
                     {"id": model_name, "object": "model",
                      "owned_by": "tpulamm"}]})
+            elif self.path == "/slots":
+                # per-slot state (server.cpp GET /slots)
+                out = []
+                for i, s in enumerate(sched.slots):
+                    busy = s.req is not None
+                    out.append({
+                        "id": i, "state": 1 if busy else 0,
+                        "n_past": int(sched.engine.n_past[i]),
+                        "n_decoded": s.n_gen if busy else 0,
+                        "cache_tokens": len(s.hist),
+                        "rid": s.req.rid if busy else None})
+                self._json(200, out)
             elif self.path == "/props":
                 self._json(200, {"total_slots": sched.n_slots,
                                  "model": model_name})
@@ -705,6 +717,19 @@ def make_handler(sched: Scheduler, model_name: str):
                         "data": [{"object": "embedding", "index": i,
                                   "embedding": v}
                                  for i, v in enumerate(vecs)]})
+            elif self.path == "/infill":
+                # FIM completion (server.cpp handle_infill): the prompt is
+                # <PRE> input_prefix <SUF> input_suffix <MID> built from the
+                # model's FIM special tokens
+                from tpulamm.cli.infill import infill_tokens
+                try:
+                    toks = infill_tokens(sched.engine,
+                                         str(body.get("input_prefix", "")),
+                                         str(body.get("input_suffix", "")))
+                except SystemExit as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._run_request(toks, body, "native")
             elif self.path == "/cancel":
                 ok = sched.cancel(str(body.get("rid", "")))
                 self._json(200 if ok else 404, {"cancelled": ok})
