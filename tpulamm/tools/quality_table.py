@@ -66,8 +66,8 @@ def byte_vocab() -> dict:
 
 def train_model(out_path: str, *, dim=512, n_layers=8, n_heads=8,
                 n_kv_heads=4, ffn=1408, seq_len=512, n_steps=1500,
-                batch_size=16, lr=3e-4, corpus: bytes | None = None,
-                log=print):
+                batch_size=16, lr=3e-4, remat=False,
+                corpus: bytes | None = None, log=print):
     from tpulamm.models.config import ModelConfig
     from tpulamm.ops.rope import RopeParams
     from tpulamm.train.model import init_params, save_params_gguf
@@ -82,7 +82,7 @@ def train_model(out_path: str, *, dim=512, n_layers=8, n_heads=8,
                       rope=RopeParams(n_rot=dim // n_heads))
     params = init_params(cfg, seed=0)
     tc = TrainConfig(lr=lr, batch_size=batch_size, seq_len=seq_len,
-                     n_steps=n_steps, warmup_steps=50, seed=0)
+                     n_steps=n_steps, warmup_steps=50, seed=0, remat=remat)
     params, losses = train(params, cfg, data[: int(len(data) * 0.95)], tc,
                            log_every=100, log=log)
     save_params_gguf(params, cfg, out_path, vocab=byte_vocab())

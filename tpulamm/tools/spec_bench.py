@@ -33,23 +33,35 @@ import time
 import numpy as np
 
 
-def ensure_models(steps: int, out_dir: str = "tmp_bench", log=print):
+def ensure_models(steps: int, out_dir: str = "tmp_bench", big: bool = False,
+                  log=print):
     from tpulamm.cli.quantize import quantize_file
     from tpulamm.gguf.constants import GGMLType
     from tpulamm.tools.quality_table import build_corpus, train_model
 
-    tgt = os.path.join(out_dir, "spec_target_f32.gguf")
+    name = "spec_big" if big else "spec_target"
+    tgt = os.path.join(out_dir, f"{name}_f32.gguf")
     drf = os.path.join(out_dir, "spec_draft_f32.gguf")
-    tgt_q4 = os.path.join(out_dir, "spec_target_q4_0.gguf")
+    tgt_q4 = os.path.join(out_dir, f"{name}_q4_0.gguf")
     corpus = build_corpus()
     if not os.path.exists(tgt):
-        # same shape as the quality-table model (dim 512, 8 layers, ~30M)
-        train_model(tgt, n_steps=steps, corpus=corpus, log=log)
+        if big:
+            # ~520M params (dim 1536, 20 layers): decode on this target is
+            # weight-streaming-bound like the 1.1B/7B bench models, so the
+            # speculative win is measured in the regime where it matters.
+            # remat + batch 8 keep the AdamW state + activations in HBM.
+            train_model(tgt, dim=1536, n_layers=20, n_heads=12,
+                        n_kv_heads=6, ffn=4096, n_steps=steps,
+                        batch_size=8, remat=True, corpus=corpus, log=log)
+        else:
+            # same shape as the quality-table model (dim 512, 8 layers, ~30M)
+            train_model(tgt, n_steps=steps, corpus=corpus, log=log)
     if not os.path.exists(drf):
-        # ~15x smaller draft: dim 256, 2 layers (64-dim heads keep the
+        # ~170x/15x smaller draft: dim 256, 2 layers (64-dim heads keep the
         # lanes full) — k proposals cost well under one target step
         train_model(drf, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
-                    ffn=704, n_steps=steps, corpus=corpus, log=log)
+                    ffn=704, n_steps=min(steps, 1500), corpus=corpus,
+                    log=log)
     if not os.path.exists(tgt_q4):
         quantize_file(tgt, tgt_q4, GGMLType.Q4_0)
     return tgt, drf, tgt_q4, corpus
@@ -68,6 +80,32 @@ def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
     tail = corpus[int(len(corpus) * 0.95):]
     prompt = tail[1000:1250].decode("utf-8", "replace")
 
+    def timed(fn):
+        """Best decode-phase tok/s over 3 runs (Engine.timings.t_eval —
+        the per-token generation rate, prefill/tokenize excluded, same
+        convention as llama_print_timings "eval time") + wall tok/s."""
+        best = best_wall = 0.0
+        st = None
+        for _ in range(3):
+            e0, n0 = target.timings.t_eval, target.timings.n_eval
+            t0 = time.perf_counter()
+            out, stats = fn()
+            wall = len(out) / (time.perf_counter() - t0)
+            de = target.timings.t_eval - e0
+            ts = (target.timings.n_eval - n0) / de if de > 0 else 0.0
+            if ts > best:
+                best, st = ts, stats
+            best_wall = max(best_wall, wall)
+        return best, best_wall, st
+
+    def row(k, mode, ts, wall, st):
+        r = {"n_draft": k, "tok_s": ts, "wall_tok_s": wall, "mode": mode,
+             "accept": st.accept_rate if st else None}
+        if st:
+            r["tok_per_step"] = 1 + st.n_accepted / max(st.n_target_steps, 1)
+        rows.append(r)
+        log(json.dumps(r))
+
     rows = []
     if lookup:
         for k in drafts:
@@ -76,54 +114,30 @@ def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
             generate_prompt_lookup_fast(target, prompt, n_predict=n_predict,
                                         n_draft=k, temp=0.0,
                                         stop_on_eos=False)          # warm
-            best, st = 0.0, None
-            for _ in range(3):
-                t0 = time.perf_counter()
-                out, _, stats = generate_prompt_lookup_fast(
-                    target, prompt, n_predict=n_predict, n_draft=k,
-                    temp=0.0, stop_on_eos=False)
-                ts = len(out) / (time.perf_counter() - t0)
-                if ts > best:
-                    best, st = ts, stats
-            rows.append({"n_draft": k, "tok_s": best,
-                         "accept": st.accept_rate,
-                         "tok_per_step": 1 + st.n_accepted
-                         / max(st.n_target_steps, 1),
-                         "mode": "on-device prompt lookup"})
-            log(json.dumps(rows[-1]))
+            ts, wall, st = timed(lambda: generate_prompt_lookup_fast(
+                target, prompt, n_predict=n_predict, n_draft=k,
+                temp=0.0, stop_on_eos=False)[::2])
+            row(k, "on-device prompt lookup", ts, wall, st)
     for k in drafts:
         if k == 0:
             target.reset_slot(0)
             target.generate_fast(prompt, n_predict=n_predict, temp=0.0,
                                  stop_on_eos=False)      # warm compile
-            best = 0.0
-            for _ in range(3):
+            def plain():
                 target.reset_slot(0)
-                t0 = time.perf_counter()
                 out, _ = target.generate_fast(prompt, n_predict=n_predict,
                                               temp=0.0, stop_on_eos=False)
-                best = max(best, len(out) / (time.perf_counter() - t0))
-            rows.append({"n_draft": 0, "tok_s": best, "accept": None,
-                         "mode": "plain generate_fast"})
+                return out, None
+            ts, wall, _ = timed(plain)
+            row(0, "plain generate_fast", ts, wall, None)
         else:
             generate_speculative_fast(target, draft, prompt,
                                       n_predict=n_predict, n_draft=k,
                                       temp=0.0, stop_on_eos=False)  # warm
-            best, st = 0.0, None
-            for _ in range(3):
-                t0 = time.perf_counter()
-                out, _, stats = generate_speculative_fast(
-                    target, draft, prompt, n_predict=n_predict, n_draft=k,
-                    temp=0.0, stop_on_eos=False)
-                ts = len(out) / (time.perf_counter() - t0)
-                if ts > best:
-                    best, st = ts, stats
-            rows.append({"n_draft": k, "tok_s": best,
-                         "accept": st.accept_rate,
-                         "tok_per_step": 1 + st.n_accepted
-                         / max(st.n_target_steps, 1),
-                         "mode": "on-device speculative"})
-        log(json.dumps(rows[-1]))
+            ts, wall, st = timed(lambda: generate_speculative_fast(
+                target, draft, prompt, n_predict=n_predict, n_draft=k,
+                temp=0.0, stop_on_eos=False)[::2])
+            row(k, "on-device speculative", ts, wall, st)
     return rows
 
 
@@ -138,9 +152,12 @@ def main(argv=None) -> int:
                    help="override the target GGUF (still uses the trained "
                         "draft + corpus prompt)")
     p.add_argument("--no-lookup", action="store_true")
+    p.add_argument("--big", action="store_true",
+                   help="use the ~520M weight-streaming-bound target "
+                        "(trains it on first use; --steps applies)")
     p.add_argument("-o", "--output", default=None)
     args = p.parse_args(argv)
-    tgt, drf, tgt_q4, corpus = ensure_models(args.steps)
+    tgt, drf, tgt_q4, corpus = ensure_models(args.steps, big=args.big)
     target = args.model or (tgt if args.f32 else tgt_q4)
     rows = bench_pair(target, drf, corpus, n_predict=args.n_predict,
                       lookup=not args.no_lookup,
