@@ -287,3 +287,20 @@ def test_server_infill_and_slots(model_path):
     finally:
         started.sched.running = False
         started.httpd.shutdown()
+
+
+def test_server_sampled_fast_path(server):
+    """Greedy + penalties (the OpenAI-default shape) rides the on-device
+    sampled block path and matches the per-token host loop exactly."""
+    body = {"prompt": "the cat sat", "n_predict": 11, "temperature": 0.0,
+            "repeat_penalty": 1.4, "frequency_penalty": 0.2,
+            "repeat_last_n": 16}
+    s0 = _scrape_metric(server, "llamacpp:decode_sampled_blocks_total")
+    r_fast = _post(server + "/completion", body)
+    s1 = _scrape_metric(server, "llamacpp:decode_sampled_blocks_total")
+    assert s1 > s0                               # took the sampled path
+    assert r_fast["tokens_predicted"] == 11
+    # a never-matching stop string forces the per-token host loop
+    r_slow = _post(server + "/completion",
+                   dict(body, stop=["\x00never\x00"]))
+    assert r_slow["content"] == r_fast["content"]

@@ -990,6 +990,114 @@ class Engine:
 
         return run
 
+    def _batch_scan_body_sampled(self, n_steps: int):
+        """Batch decode scan with the FULL on-device sampler chain:
+        repetition/frequency/presence penalties (device-resident token
+        ring + counts), penalize_nl/ignore_eos masks, and the default
+        sampler queue top_k->tfs->typical->top_p->min_p->temp with
+        per-slot parameters (ops/device_sampling.py). Lets the server
+        keep DEFAULT OpenAI-style requests (temp + penalties + top_p) on
+        the multi-token fast path instead of one host trip per token."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpulamm.ops.device_sampling import (build_counts, push_token,
+                                                 sample_chain)
+        cfg = self.cfg_step
+        model_forward = self._model_forward
+        V = cfg.vocab_size
+        eos_id = self.tokenizer.vocab.eos_id if self.tokenizer else 2
+        nl_id = 13 if V > 13 else 0   # host Sampler's default nl_id
+        n_ctx = self.n_ctx
+
+        def run(params, cache, toks, pos, active, key, sp, ring, wr):
+            counts = build_counts(ring, wr, sp.last_n, V)
+
+            def step(carry, _):
+                cache, tok, pos, key, ring, wr, counts = carry
+                cells = jnp.where(active, pos, n_ctx)[:, None]
+                p = jnp.where(active, pos, -1)[:, None]
+                logits, cache = model_forward(params, cfg, tok[:, None], p,
+                                              cache, None, cells)
+                lg = logits[:, 0, :V]
+                key, nxt = sample_chain(lg, key, sp, counts, nl_id,
+                                        eos_id, active)
+                nxt = jnp.where(active, nxt, tok)
+                # host sampler semantics: the sampled token enters the
+                # penalty window immediately (accept-at-sample)
+                ring, wr, counts = push_token(ring, wr, counts, sp.last_n,
+                                              nxt, active)
+                pos = jnp.where(active, pos + 1, pos)
+                return (cache, nxt, pos, key, ring, wr, counts), nxt
+
+            (cache, _, _, _, _, _, _), out = jax.lax.scan(
+                step, (cache, toks, pos, key, ring, wr, counts), None,
+                length=n_steps)
+            return out, cache
+
+        return run
+
+    def decode_batch_sampled(self, toks: dict[int, int], n_steps: int,
+                             samplers: dict, seed: int = 0
+                             ) -> dict[int, list[int]]:
+        """decode_batch_fast with the full sampler chain on device.
+
+        samplers: {slot: runtime.sampling.Sampler} supplies per-slot
+        params and the penalty history (Sampler.prev). The caller must
+        accept() the returned tokens into each Sampler to keep host
+        state canonical for the next block."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpulamm.ops.device_sampling import (params_from_samplers,
+                                                 ring_from_prev)
+        if self.mesh is not None or self.recurrent:
+            raise ValueError("sampled fast path: unmeshed, non-recurrent "
+                             "engines only")
+        for s in toks:
+            n = int(self.n_past[s])
+            if not np.array_equal(self.cell_pos[s, :n], np.arange(n)):
+                raise ValueError(f"slot {s}: cells not contiguous; "
+                                 "use decode_batch")
+            if n + n_steps + 1 > self.n_ctx:
+                raise ValueError("decode_batch_sampled would overflow n_ctx")
+        t0 = time.perf_counter()
+        B = self.n_slots
+        tok = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        act = np.zeros(B, bool)
+        for s, t in toks.items():
+            tok[s] = t
+            pos[s] = self.n_past[s]
+            act[s] = True
+        sp = params_from_samplers(samplers, B)
+        ring, wr = ring_from_prev(
+            {s: smp.prev for s, smp in samplers.items() if smp is not None},
+            B)
+        if not hasattr(self, "_sampled_scan_cache"):
+            self._sampled_scan_cache = {}
+        fn = self._sampled_scan_cache.get(n_steps)
+        if fn is None:
+            fn = jax.jit(self._batch_scan_body_sampled(int(n_steps)),
+                         donate_argnums=(1,))
+            self._sampled_scan_cache[n_steps] = fn
+        out, self.cache = fn(
+            self.params, self.cache, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray(act), jax.random.PRNGKey(seed),
+            jax.tree_util.tree_map(jnp.asarray, sp), jnp.asarray(ring),
+            jnp.int32(wr))
+        out = np.asarray(out)                            # (n_steps, B)
+        res = {}
+        for s in toks:
+            start = int(self.n_past[s])
+            self.n_past[s] = start + n_steps
+            self.cell_pos[s, start:start + n_steps] = \
+                np.arange(start, start + n_steps)
+            res[s] = [int(t) for t in out[:, s]]
+        self.timings.t_eval += time.perf_counter() - t0
+        self.timings.n_eval += n_steps * len(toks)
+        return res
+
     def _batch_scan_exec(self, n_steps: int, top_k: int, greedy: bool):
         """Compiled batch scan for one (n_steps, top_k, greedy) combo
         (DECODE_BUCKETS keeps the variant count small)."""

@@ -74,6 +74,9 @@ class Metrics:
         # blocks; slow = per-token host-sampled steps (penalties/grammar)
         self.fast_blocks = 0
         self.slow_steps = 0
+        # fast blocks that used the full on-device sampler chain
+        # (penalties + default queue) rather than plain temp/top-k
+        self.sampled_blocks = 0
         # prompt tokens satisfied from a cached KV prefix (cache_prompt)
         self.cached_prompt_tokens = 0
 
@@ -94,6 +97,8 @@ class Metrics:
             f"llamacpp:decode_fast_blocks_total {self.fast_blocks}\n"
             "# TYPE llamacpp:decode_slow_steps_total counter\n"
             f"llamacpp:decode_slow_steps_total {self.slow_steps}\n"
+            "# TYPE llamacpp:decode_sampled_blocks_total counter\n"
+            f"llamacpp:decode_sampled_blocks_total {self.sampled_blocks}\n"
             "# TYPE llamacpp:prompt_cached_tokens_total counter\n"
             f"llamacpp:prompt_cached_tokens_total "
             f"{self.cached_prompt_tokens}\n")
@@ -395,6 +400,58 @@ class Scheduler(threading.Thread):
                 slot.next_tok = toks[-1]
         return True
 
+    def _run_sampled_block(self, active: dict[int, int]) -> bool:
+        """Multi-token on-device block with the FULL sampler chain
+        (penalties + default queue, per-slot params) — keeps default
+        OpenAI-style requests (temp + penalties + top_p) off the
+        one-host-trip-per-token slow path. False -> caller falls back."""
+        eng = self.engine
+        remaining = min(self.slots[i].req.n_predict - self.slots[i].n_gen
+                        for i in active)
+        n = max(1, min(8, remaining))
+        self._block_counter += 1
+        seed = self._block_counter * 1000003
+        for i in sorted(active):
+            seed ^= (self.slots[i].req.params.seed + 0x9E3779B9 * (i + 1)) \
+                & 0x7FFFFFFF
+        samplers = {i: self.slots[i].sampler for i in active}
+        try:
+            blocks = eng.decode_batch_sampled(active, n, samplers,
+                                              seed=seed & 0x7FFFFFFF)
+        except ValueError:
+            return False
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        for i, toks in blocks.items():
+            slot = self.slots[i]
+            slot.hist.append(active[i])
+            slot.hist.extend(toks[:-1])
+            done_at = None
+            for j, tok in enumerate(toks):
+                if tok == eos and not slot.req.params.ignore_eos:
+                    done_at = j
+                    break
+                # keep the host sampler canonical (penalty window for the
+                # next block lives in sampler.prev)
+                slot.sampler.accept(tok, apply_grammar=False)
+                slot.n_gen += 1
+                piece = (eng.tokenizer.token_to_piece(tok)
+                         if eng.tokenizer else "")
+                slot.req.out.put(("tok", tok, piece, None))
+                with self.metrics.lock:
+                    self.metrics.generated_tokens += 1
+                if slot.n_gen >= slot.req.n_predict:
+                    done_at = j
+                    break
+            if done_at is None and slot.n_gen >= slot.req.n_predict:
+                done_at = len(toks) - 1
+            if done_at is not None:
+                stop = (toks[done_at] == eos
+                        and not slot.req.params.ignore_eos)
+                self._finish_slot(i, "stop" if stop else "length")
+            else:
+                slot.next_tok = toks[-1]
+        return True
+
     def run(self):
         while self.running:
             self._sweep_cancelled()
@@ -424,6 +481,22 @@ class Scheduler(threading.Thread):
                     and self._run_fast_block(active)):
                 with self.metrics.lock:
                     self.metrics.fast_blocks += 1
+                continue
+            # second tier: full on-device sampler chain (penalties +
+            # default queue) — covers the OpenAI-default request shape
+            # that used to fall to the per-token host loop
+            from tpulamm.ops.device_sampling import fast_chain_eligible
+            if (self.pending.empty() and self.engine.mesh is None
+                    and not self.engine.recurrent
+                    and all(self.slots[i].sampler.grammar is None
+                            and not self.slots[i].req.stop_strs
+                            and self.slots[i].req.params.n_probs == 0
+                            and fast_chain_eligible(self.slots[i].req.params)
+                            for i in active)
+                    and self._run_sampled_block(active)):
+                with self.metrics.lock:
+                    self.metrics.fast_blocks += 1
+                    self.metrics.sampled_blocks += 1
                 continue
             with self.metrics.lock:
                 self.metrics.slow_steps += 1
