@@ -234,3 +234,32 @@ def test_self_extend_positions_match_reference(model_path):
         assert int(eng.ga_i[0]) == ga_i, (step, int(eng.ga_i[0]), ga_i)
     # the compressed window must stay bounded (never hit "KV cache full")
     assert int(eng.n_past[0]) < eng.n_ctx
+
+
+def test_kv_span_parity(model_path, monkeypatch):
+    """Bucketed attention spans (Engine._kv_span) are a pure read
+    optimization: logits and generations are identical with spans
+    disabled, across prefill, batched decode, and the decode scan."""
+    p0, p1 = [1, 5, 9, 4], [1, 30, 31]
+
+    def drive():
+        eng = Engine(model_path, n_ctx=512, n_slots=2)
+        logs = [eng.prefill(0, p0), eng.prefill(1, p1)]
+        cur = {0: int(np.argmax(logs[0])), 1: 7}
+        for _ in range(4):
+            lg = eng.decode_batch(cur)
+            logs.extend(lg[i] for i in sorted(lg))
+            cur = {i: int(np.argmax(lg[i])) for i in lg}
+        eng.reset_slot(0)
+        out, _ = eng.generate_fast(p0, n_predict=20, temp=0.0,
+                                   stop_on_eos=False, slot=0)
+        return eng, logs, out
+
+    eng_a, logs_a, out_a = drive()
+    assert eng_a._kv_span(1) is not None          # spans actually engage
+    monkeypatch.setenv("TPULAMM_NO_KV_SPAN", "1")
+    eng_b, logs_b, out_b = drive()
+    assert eng_b._kv_span(1) is None
+    for a, b in zip(logs_a, logs_b):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    assert out_a == out_b

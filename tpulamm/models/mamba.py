@@ -115,7 +115,8 @@ def _ssm_scan(x: jnp.ndarray, dt: jnp.ndarray, A: jnp.ndarray,
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, state: MambaState,
             slots: jnp.ndarray, cells: jnp.ndarray = None,
-            segs: jnp.ndarray | None = None
+            segs: jnp.ndarray | None = None,
+            kv_span: int | None = None   # interface parity; no KV cache
             ) -> tuple[jnp.ndarray, MambaState]:
     """tokens/positions: (B, T); slots: (B,) or None (= arange(B), the
     all-slots-in-order decode case) -> (logits f32, state).

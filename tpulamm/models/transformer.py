@@ -125,7 +125,8 @@ def embed(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
 def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
               positions: jnp.ndarray, cache: KVCache, layer_idx: int,
               slots: jnp.ndarray, cells: jnp.ndarray,
-              segs: jnp.ndarray | None = None) -> tuple:
+              segs: jnp.ndarray | None = None,
+              kv_span: int | None = None) -> tuple:
     B, T, _ = h.shape
     hd = cfg.head_dim
 
@@ -168,6 +169,15 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     else:
         kc = cache.k[layer_idx][slots]                 # (B, Hkv, S, D)
         vc = cache.v[layer_idx][slots]
+    # static attention span (engine-computed bucket covering every
+    # occupied cell + this call's writes): attention streams only
+    # span cells instead of the whole allocated cache — decode on a
+    # large-n_ctx engine with a short live context otherwise pays the
+    # full-cache KV read every step (the write above targets the FULL
+    # cache; only the read view narrows)
+    if kv_span is not None and kv_span < cache.k[layer_idx].shape[2]:
+        kc = kc[:, :, :kv_span]
+        vc = vc[:, :, :kv_span]
     group = cfg.n_heads // cfg.n_kv_heads
 
     qg = q.reshape(B, T, cfg.n_kv_heads, group, hd)
@@ -186,7 +196,7 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     # Single-token decode pays the floor per layer per step, and the
     # XLA-fused einsum wins until the KV span is long (tg256: einsum 441
     # vs flash 376 t/s at S=2049 — crossover around S~6k).
-    S_cache = cache.k[layer_idx].shape[2]
+    S_cache = kc.shape[2]          # span-aware: the real workload size
     auto = jax.default_backend() == "tpu" and (
         (T >= 64 and S_cache >= 1024) or S_cache >= 6144)
     # quantized (q8_0) caches use the einsum path: the per-row scales fold
@@ -201,6 +211,7 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     if use_flash:
         from tpulamm.ops.flash_attention import flash_attention
         kpos = cache.pos if slots is None else cache.pos[slots]
+        kpos = kpos[:, :S_cache]
         qf = qg.transpose(0, 2, 1, 3, 4).reshape(
             B, cfg.n_kv_heads, T * group, hd)
         qbase = positions[:, 0]
@@ -234,12 +245,12 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
                         kc.astype(qk_dt),
                         preferred_element_type=jnp.float32)
     if cache.ks is not None:
-        ksc = cache.ks[layer_idx] if slots is None \
-            else cache.ks[layer_idx][slots]                # (B, Hkv, S)
+        ksc = (cache.ks[layer_idx] if slots is None
+               else cache.ks[layer_idx][slots])[:, :, :S_cache]  # (B,Hkv,S)
         scores = scores * ksc[:, :, None, None, :]
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(hd)))
 
-    kpos = cache.pos if slots is None else cache.pos[slots]   # (B, S)
+    kpos = (cache.pos if slots is None else cache.pos[slots])[:, :S_cache]
     if cfg.max_alibi_bias > 0.0:
         # ggml_soft_max_ext ALiBi: scores += slope[h] * key_pos. Slopes
         # depend on the GLOBAL head index: under tp, slice this shard's
@@ -262,7 +273,8 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
         # segment visibility (multi-seq_id batch masks, lookahead decoding):
         # key seg 0 = main sequence, visible to all; otherwise the query's
         # segment id must fall in the key's packed [lo, hi] range
-        kseg = cache.seg if slots is None else cache.seg[slots]  # (B, S)
+        kseg = (cache.seg if slots is None
+                else cache.seg[slots])[:, :S_cache]       # (B, S)
         klo = kseg & 0xFFFF
         khi = kseg >> 16
         qid = (segs & 0xFFFF)[:, :, None]              # (B, T, 1)
@@ -278,8 +290,8 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
         # q8_0 V: scale is per key row and s is the contracted axis, so it
         # folds into probs (tiny (B,H,G,T,S) tensor) instead of dequantizing
         # the full cache: (probs * vs) . v_i8 == probs . v_dequant
-        vsc = cache.vs[layer_idx] if slots is None \
-            else cache.vs[layer_idx][slots]                # (B, Hkv, S)
+        vsc = (cache.vs[layer_idx] if slots is None
+               else cache.vs[layer_idx][slots])[:, :, :S_cache]  # (B,Hkv,S)
         probs = probs * vsc[:, :, None, None, :]
         pv_dt = jnp.float32
     out = jnp.einsum("bhgts,bhsd->bthgd", probs.astype(pv_dt),
@@ -379,7 +391,8 @@ def _layer_ffn(layer: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, cache: KVCache, slots: jnp.ndarray,
             cells: jnp.ndarray, segs: jnp.ndarray | None = None,
-            embeds: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
+            embeds: jnp.ndarray | None = None,
+            kv_span: int | None = None) -> tuple[jnp.ndarray, KVCache]:
     """tokens/positions/cells: (B, T); slots: (B,) -> (logits f32, cache).
 
     For embedding archs (bert) with no lm head, returns final hidden states
@@ -408,7 +421,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.post_norm:
             # bert topology: x -> attn -> +res -> LN -> ffn -> +res -> LN
             attn_out, cache = attention(layer, cfg, h, positions, cache, il,
-                                        slots, cells, segs)
+                                        slots, cells, segs, kv_span)
             h = _norm((h + attn_out).astype(cfg.cdtype), layer,
                       "attn_out_norm", cfg)
             h = _norm((h + _layer_ffn(layer, cfg, h)).astype(cfg.cdtype),
@@ -419,7 +432,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             ha = (_norm(h, layer, "attn_norm_2", cfg)
                   if layer.get("attn_norm_2") is not None else hn)
             attn_out, cache = attention(layer, cfg, ha, positions, cache, il,
-                                        slots, cells, segs)
+                                        slots, cells, segs, kv_span)
             # gptneox feeds the FFN from its own norm of the SAME input
             # (HF post_attention_layernorm(x) in the parallel formula);
             # falcon/phi2/plamo/gptj share the attention norm
@@ -430,7 +443,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             hn = _norm(h, layer, "attn_norm", cfg)
             attn_out, cache = attention(layer, cfg, hn, positions, cache, il,
-                                        slots, cells, segs)
+                                        slots, cells, segs, kv_span)
             if cfg.res_scale != 1.0:
                 attn_out = attn_out * cfg.res_scale
             h = (h + attn_out).astype(cfg.cdtype)

@@ -167,20 +167,9 @@ class Engine:
             model_forward = forward
         self._model_forward = model_forward
 
-        def step(params, tokens, positions, cache, slots, cells):
-            return model_forward(params, cfg, tokens, positions, cache,
-                                 slots, cells)
-
-        if self.mesh is None:
-            self._step = jax.jit(step, donate_argnums=(3,))
-        else:
-            from jax.sharding import PartitionSpec as P
-            self._step = self._wrap_step(
-                step,
-                in_specs=(self._pspecs, P("dp", None), P("dp", None),
-                          self._cache_pspecs, None, P("dp", None)),
-                out_specs=(P("dp", None, None), self._cache_pspecs),
-                donate=(3,))
+        # single-ubatch step executables, one per attention span bucket
+        # (see _kv_span); built lazily in _step_exec
+        self._step_cache = {}
         # position-surgery ops jitted once; p0/p1/delta are traced scalars so
         # repeated shifts don't recompile
         self._jit_seq_rm = jax.jit(kv.seq_rm, donate_argnums=(0,))
@@ -414,6 +403,50 @@ class Engine:
         return self._token_pieces
 
     # -- low-level ubatch execution ------------------------------------------
+    KV_SPAN_MIN = 256
+
+    def _kv_span(self, need: int) -> int | None:
+        """Static attention-span bucket: power of two covering every
+        occupied KV cell plus `need` upcoming writes. None = read the
+        full cache. Attention then streams only span cells per step —
+        on a 7B with n_ctx 2304 and a fresh 256-token stream the full
+        cache read costs ~1.2 GB/step of pure waste. Disable with
+        TPULAMM_NO_KV_SPAN=1 for A/B."""
+        import os
+        if self.recurrent or self.mega is not None \
+                or os.environ.get("TPULAMM_NO_KV_SPAN"):
+            return None
+        occ = int(self.cell_pos.max()) + 1            # all-empty -> 0
+        s = max(occ + need, self.KV_SPAN_MIN)
+        if s >= self.n_ctx:
+            return None
+        span = 1 << (s - 1).bit_length()
+        return None if span >= self.n_ctx else int(span)
+
+    def _step_exec(self, kv_span: int | None):
+        """Single-ubatch step executable for one attention span."""
+        fn = self._step_cache.get(kv_span)
+        if fn is None:
+            cfg = self.cfg_step
+            model_forward = self._model_forward
+
+            def step(params, tokens, positions, cache, slots, cells):
+                return model_forward(params, cfg, tokens, positions, cache,
+                                     slots, cells, kv_span=kv_span)
+
+            if self.mesh is None:
+                fn = jax.jit(step, donate_argnums=(3,))
+            else:
+                from jax.sharding import PartitionSpec as P
+                fn = self._wrap_step(
+                    step,
+                    in_specs=(self._pspecs, P("dp", None), P("dp", None),
+                              self._cache_pspecs, None, P("dp", None)),
+                    out_specs=(P("dp", None, None), self._cache_pspecs),
+                    donate=(3,))
+            self._step_cache[kv_span] = fn
+        return fn
+
     def _run(self, slot: int, tokens: np.ndarray, positions: np.ndarray,
              cells: np.ndarray, all_logits: bool = True) -> np.ndarray:
         """Run one ubatch for one slot. tokens/positions/cells: (T,).
@@ -439,7 +472,7 @@ class Engine:
         pos[r, :t] = positions
         cel = np.full((rows, bucket), self.n_ctx, np.int32)  # pads -> trash
         cel[r, :t] = cells
-        logits, self.cache = self._step(
+        logits, self.cache = self._step_exec(self._kv_span(0))(
             self.params, jnp.asarray(tok), jnp.asarray(pos), self.cache,
             slots_arg, jnp.asarray(cel))
         if all_logits:
@@ -523,7 +556,7 @@ class Engine:
             pos[slot, 0] = p
             cel[slot, 0] = self._cells_for(slot, 1, np.array([p]))[0]
             self.n_past[slot] += 1
-        logits, self.cache = self._step(
+        logits, self.cache = self._step_exec(self._kv_span(0))(
             self.params, jnp.asarray(tok), jnp.asarray(pos), self.cache,
             None, jnp.asarray(cel))     # all slots in order: no gather
         out = np.asarray(logits[:, 0])
@@ -909,7 +942,8 @@ class Engine:
         jitted = jax.jit(run, static_argnums=(6, 9, 10), donate_argnums=(2,))
         ops = (mega.planes, mega.norms)
 
-        def call(params, cache, *rest):
+        def call(params, cache, *rest, kv_span=None):
+            # megakernel reads the packed full-cache operands; span n/a
             return jitted(ops, params, cache, *rest)
 
         return call
@@ -928,13 +962,14 @@ class Engine:
         one_slot = self.n_slots == 1    # slots arg is the identity then
 
         def run(params, cache, first_tok, start_pos, slot, n_steps, key,
-                temp, top_k, greedy):
+                temp, top_k, greedy, kv_span=None):
             def step(carry, _):
                 cache, tok, pos, key = carry
                 # fresh-slot decode: cell index == position
                 logits, cache = model_forward(
                     params, cfg, tok[None, None], pos[None, None], cache,
-                    None if one_slot else slot[None], pos[None, None])
+                    None if one_slot else slot[None], pos[None, None],
+                    kv_span=kv_span)
                 lg = logits[0, 0]
                 key, nxt = self._sample_next(lg, key, temp, top_k, greedy)
                 return (cache, nxt, pos + 1, key), nxt
@@ -943,9 +978,11 @@ class Engine:
                 length=n_steps)
             return toks, cache
 
-        return jax.jit(run, static_argnums=(5, 8, 9), donate_argnums=(1,))
+        return jax.jit(run, static_argnums=(5, 8, 9),
+                       static_argnames=("kv_span",), donate_argnums=(1,))
 
-    def _batch_scan_body(self, n_steps: int, top_k: int, greedy: bool):
+    def _batch_scan_body(self, n_steps: int, top_k: int, greedy: bool,
+                         kv_span: int | None = None):
         """Multi-slot decode scan body: N tokens for ALL slots per
         dispatch (the serving path: continuous-batching throughput is
         dominated by per-step dispatch otherwise). Statics are closed over
@@ -961,7 +998,8 @@ class Engine:
                 cells = jnp.where(active, pos, self.n_ctx)[:, None]
                 p = jnp.where(active, pos, -1)[:, None]
                 logits, cache = model_forward(params, cfg, tok[:, None], p,
-                                              cache, slots, cells)
+                                              cache, slots, cells,
+                                              kv_span=kv_span)
                 lg = logits[:, 0]                      # (B, V)
                 if greedy:
                     nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
@@ -990,7 +1028,8 @@ class Engine:
 
         return run
 
-    def _batch_scan_body_sampled(self, n_steps: int):
+    def _batch_scan_body_sampled(self, n_steps: int,
+                                  kv_span: int | None = None):
         """Batch decode scan with the FULL on-device sampler chain:
         repetition/frequency/presence penalties (device-resident token
         ring + counts), penalize_nl/ignore_eos masks, and the default
@@ -1018,7 +1057,8 @@ class Engine:
                 cells = jnp.where(active, pos, n_ctx)[:, None]
                 p = jnp.where(active, pos, -1)[:, None]
                 logits, cache = model_forward(params, cfg, tok[:, None], p,
-                                              cache, None, cells)
+                                              cache, None, cells,
+                                              kv_span=kv_span)
                 lg = logits[:, 0, :V]
                 key, nxt = sample_chain(lg, key, sp, counts, nl_id,
                                         eos_id, active)
@@ -1076,11 +1116,12 @@ class Engine:
             B)
         if not hasattr(self, "_sampled_scan_cache"):
             self._sampled_scan_cache = {}
-        fn = self._sampled_scan_cache.get(n_steps)
+        span = self._kv_span(int(n_steps))
+        fn = self._sampled_scan_cache.get((n_steps, span))
         if fn is None:
-            fn = jax.jit(self._batch_scan_body_sampled(int(n_steps)),
+            fn = jax.jit(self._batch_scan_body_sampled(int(n_steps), span),
                          donate_argnums=(1,))
-            self._sampled_scan_cache[n_steps] = fn
+            self._sampled_scan_cache[(n_steps, span)] = fn
         out, self.cache = fn(
             self.params, self.cache, jnp.asarray(tok), jnp.asarray(pos),
             jnp.asarray(act), jax.random.PRNGKey(seed),
@@ -1098,15 +1139,16 @@ class Engine:
         self.timings.n_eval += n_steps * len(toks)
         return res
 
-    def _batch_scan_exec(self, n_steps: int, top_k: int, greedy: bool):
-        """Compiled batch scan for one (n_steps, top_k, greedy) combo
-        (DECODE_BUCKETS keeps the variant count small)."""
+    def _batch_scan_exec(self, n_steps: int, top_k: int, greedy: bool,
+                         kv_span: int | None = None):
+        """Compiled batch scan for one (n_steps, top_k, greedy, span)
+        combo (DECODE_BUCKETS keeps the variant count small)."""
         if not hasattr(self, "_batch_scan_cache"):
             self._batch_scan_cache = {}
-        key3 = (n_steps, top_k, greedy)
+        key3 = (n_steps, top_k, greedy, kv_span)
         fn = self._batch_scan_cache.get(key3)
         if fn is None:
-            body = self._batch_scan_body(n_steps, top_k, greedy)
+            body = self._batch_scan_body(n_steps, top_k, greedy, kv_span)
             if self.mesh is None:
                 fn = jax.jit(body, donate_argnums=(1,))
             else:
@@ -1150,7 +1192,8 @@ class Engine:
             act[s] = True
             tv[s] = temp if isinstance(temp, (int, float)) else temp.get(s, 0.0)
         greedy = bool(np.all(tv[act] <= 0.0))
-        scan = self._batch_scan_exec(int(n_steps), int(top_k), greedy)
+        scan = self._batch_scan_exec(int(n_steps), int(top_k), greedy,
+                                     self._kv_span(int(n_steps)))
         out, self.cache = scan(
             self.params, self.cache, jnp.asarray(tok), jnp.asarray(pos),
             jnp.asarray(act), jax.random.PRNGKey(seed), jnp.asarray(tv))
@@ -1228,7 +1271,8 @@ class Engine:
             toks, self.cache = self._decode_scan(
                 self.params, self.cache, jnp.int32(cur), jnp.int32(startb),
                 jnp.int32(slot), n, jax.random.PRNGKey(seed + len(out)),
-                jnp.float32(temp), int(top_k), temp <= 0.0)
+                jnp.float32(temp), int(top_k), temp <= 0.0,
+                kv_span=self._kv_span(n))
             toks = np.asarray(toks)
             # scan step i wrote the carry token's KV at cell/pos startb+i
             self.n_past[slot] = startb + n

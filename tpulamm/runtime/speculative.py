@@ -230,7 +230,8 @@ def generate_prompt_lookup(engine: Engine, prompt, *, n_predict: int = 128,
 
 
 def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
-                     max_steps: int, top_k: int, greedy: bool):
+                     max_steps: int, top_k: int, greedy: bool,
+                     span_t: int | None = None, span_d: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -258,7 +259,7 @@ def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
                 cache_d, t, p = c
                 lg, cache_d = fwd_d(params_d, cfg_d, t[None, None],
                                     p[None, None], cache_d, None,
-                                    p[None, None])
+                                    p[None, None], kv_span=span_d)
                 nt = jnp.argmax(lg[0, 0, :Vd]).astype(jnp.int32)
                 return (cache_d, nt, p + 1), nt
 
@@ -268,12 +269,14 @@ def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
             # the whole draft is accepted the next cycle proposes from a
             # context that includes it (host path replays via on_accept)
             _, cache_d = fwd_d(params_d, cfg_d, last[None, None],
-                               pd[None, None], cache_d, None, pd[None, None])
+                               pd[None, None], cache_d, None,
+                               pd[None, None], kv_span=span_d)
 
             toks = jnp.concatenate([tok[None], draft_toks])          # (k+1,)
             poss = pos + jnp.arange(k + 1, dtype=jnp.int32)
             logits, cache_t = fwd_t(params_t, cfg_t, toks[None],
-                                    poss[None], cache_t, None, poss[None])
+                                    poss[None], cache_t, None, poss[None],
+                                    kv_span=span_t)
             lg = logits[0, :, :Vt]                                 # (k+1, V)
             if greedy:
                 tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
@@ -339,19 +342,26 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
 
     max_steps = next((b for b in Engine.DECODE_BUCKETS if b >= n_predict),
                      Engine.DECODE_BUCKETS[-1])
-    cache_key = (id(draft), n_draft, max_steps, top_k, greedy)
     scans = getattr(target, "_spec_scans", None)
     if scans is None:
         scans = target._spec_scans = {}
-    if cache_key not in scans:
-        scans[cache_key] = _build_spec_scan(target, draft, n_draft,
-                                            max_steps, top_k, greedy)
     stats = SpecStats()
     out = [first]
     cur = first
     start0 = int(target.n_past[0])
     while len(out) < n_predict and not (stop_on_eos and eos in out):
         startb = int(target.n_past[0])
+        # last verify step may overshoot n_predict by up to k accepted
+        # tokens, and its KV writes reach k past the final position
+        budget = n_predict - len(out) + 2 * n_draft + 2
+        span_t = target._kv_span(budget)
+        span_d = draft._kv_span(budget)
+        cache_key = (id(draft), n_draft, max_steps, top_k, greedy,
+                     span_t, span_d)
+        if cache_key not in scans:
+            scans[cache_key] = _build_spec_scan(
+                target, draft, n_draft, max_steps, top_k, greedy,
+                span_t=span_t, span_d=span_d)
         rows, accs, n_steps, pos, target.cache, draft.cache = \
             scans[cache_key](
                 target.params, target.cache, draft.params, draft.cache,
@@ -407,7 +417,7 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
 
 def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
                        top_k: int, greedy: bool, ngram_min: int,
-                       ngram_max: int):
+                       ngram_max: int, span_t: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -463,7 +473,8 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
             toks = jnp.concatenate([tok[None], draft_toks])          # (k+1,)
             poss = pos + jnp.arange(k + 1, dtype=jnp.int32)
             logits, cache_t = fwd_t(params_t, cfg_t, toks[None],
-                                    poss[None], cache_t, None, poss[None])
+                                    poss[None], cache_t, None, poss[None],
+                                    kv_span=span_t)
             lg = logits[0, :, :Vt]                                 # (k+1, V)
             if greedy:
                 tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
@@ -527,15 +538,9 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
 
     max_steps = next((b for b in Engine.DECODE_BUCKETS if b >= n_predict),
                      Engine.DECODE_BUCKETS[-1])
-    cache_key = ("lookup", n_draft, ngram_min, ngram_max, max_steps,
-                 top_k, greedy)
     scans = getattr(engine, "_spec_scans", None)
     if scans is None:
         scans = engine._spec_scans = {}
-    if cache_key not in scans:
-        scans[cache_key] = _build_lookup_scan(engine, n_draft, max_steps,
-                                              top_k, greedy, ngram_min,
-                                              ngram_max)
     stats = SpecStats()
     out = [first]
     cur = first
@@ -543,6 +548,13 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
     start0 = int(engine.n_past[0])
     while len(out) < n_predict and not (stop_on_eos and eos in out):
         startb = int(engine.n_past[0])
+        span_t = engine._kv_span(n_predict - len(out) + 2 * n_draft + 2)
+        cache_key = ("lookup", n_draft, ngram_min, ngram_max, max_steps,
+                     top_k, greedy, span_t)
+        if cache_key not in scans:
+            scans[cache_key] = _build_lookup_scan(
+                engine, n_draft, max_steps, top_k, greedy, ngram_min,
+                ngram_max, span_t=span_t)
         # padded so in-scan writes are contiguous; -1 never matches a token
         h = np.full(engine.n_ctx + n_draft + 2, -1, np.int32)
         h[:len(history)] = history
