@@ -206,3 +206,21 @@ def test_engine_sampled_block_matches_host_loop(tmp_path):
         n = int(eng_d.n_past[i])
         assert n == len(prompts[i]) + N   # carry fed as the first step
         np.testing.assert_array_equal(eng_d.cell_pos[i, :n], np.arange(n))
+
+
+def test_host_penalty_last_n_negative_means_all():
+    """penalty_last_n=-1 = whole context (common.cpp maps -1 to n_ctx);
+    the old prev[-(-1):] slice silently dropped the oldest token."""
+    rng = np.random.default_rng(3)
+    lg = rng.normal(0, 2, V).astype(np.float32)
+    prev = [5, 6, 7]
+    a = Sampler(SamplingParams(temp=0.0, penalty_repeat=2.0,
+                               penalty_last_n=-1), V, eos_id=2)
+    b = Sampler(SamplingParams(temp=0.0, penalty_repeat=2.0,
+                               penalty_last_n=3), V, eos_id=2)
+    for t in prev:
+        a.accept(t)
+        b.accept(t)
+    # make token 5 (the OLDEST) the greedy winner unless penalized
+    lg[5] = lg.max() + 0.5
+    assert a.sample(lg) == b.sample(lg)     # -1 penalizes token 5 too

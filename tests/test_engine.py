@@ -263,3 +263,16 @@ def test_kv_span_parity(model_path, monkeypatch):
     for a, b in zip(logs_a, logs_b):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     assert out_a == out_b
+
+
+def test_kv_span_covers_cells_after_position_surgery(model_path):
+    """Self-extend's seq_div shrinks POSITIONS while cells stay put; the
+    span must track the occupied cell extent, not the max position
+    (review finding: under-spanning silently dropped live KV)."""
+    eng = Engine(model_path, n_ctx=1024)
+    eng.prefill(0, list(range(1, 301)))
+    assert eng._kv_span(1) == 512
+    eng.seq_div(0, 0, 300, 4)        # grp-attn compression: pos 0..74
+    assert int(eng.cell_pos[0].max()) <= 75   # positions shrank...
+    span = eng._kv_span(1)
+    assert span is None or span >= 512        # ...but the span did not

@@ -214,3 +214,38 @@ def test_dedup_and_cli(tmp_path, capsys):
     parse_gbnf(out)
     assert _accepts(out, '{"age": 3, "name": "b"}')
     assert not _accepts(out, '{"name": "b", "age": 3}')
+
+
+def test_ref_name_collision_keeps_recursion_separate():
+    """Two refs whose last segment collides: each recursion must point at
+    its own definition (review finding: pre-registration collided)."""
+    g = schema_to_grammar({
+        "definitions": {"item": {"type": "object",
+                                 "properties": {"a": {"type": "integer"}},
+                                 "required": ["a"]}},
+        "$defs": {"item": {
+            "type": "object",
+            "properties": {"v": {"type": "boolean"},
+                           "next": {"oneOf": [{"$ref": "#/$defs/item"},
+                                              {"type": "null"}]}},
+            "required": ["v", "next"]}},
+        "type": "object",
+        "properties": {"x": {"$ref": "#/definitions/item"},
+                       "y": {"$ref": "#/$defs/item"}},
+        "required": ["x", "y"],
+    })
+    parse_gbnf(g)
+    ok = ('{"x": {"a": 3}, '
+          '"y": {"v": true, "next": {"v": false, "next": null}}}')
+    assert _accepts(g, ok)
+    # recursion must NOT accept the other definition's shape
+    bad = '{"x": {"a": 3}, "y": {"v": true, "next": {"a": 1}}}'
+    assert not _accepts(g, bad)
+
+
+def test_bad_refs_raise_valueerror():
+    for schema in ({"allOf": [{"$ref": "#/nope"}]},
+                   {"$ref": "#/missing/deep"},
+                   {"$ref": "http://remote#/x"}):
+        with pytest.raises(ValueError):
+            schema_to_grammar(schema)

@@ -279,6 +279,19 @@ def test_server_infill_and_slots(model_path):
                   {"input_prefix": "the quick", "input_suffix": "fox",
                    "n_predict": 6, "temperature": 0.0})
         assert r["tokens_predicted"] == 6 and isinstance(r["content"], str)
+        # FIM generation stops at the model's EOT token (review finding:
+        # the server only honored eos). Learn the greedy first token, make
+        # it the EOT id: the same request must now stop immediately.
+        rp = _post(base + "/infill",
+                   {"input_prefix": "the quick", "input_suffix": "fox",
+                    "n_predict": 2, "temperature": 0.0, "n_probs": 1})
+        first_tok = rp["completion_probabilities"][0]["probs"][0]["id"]
+        md["tokenizer.ggml.eot_token_id"] = first_tok
+        r2 = _post(base + "/infill",
+                   {"input_prefix": "the quick", "input_suffix": "fox",
+                    "n_predict": 6, "temperature": 0.0})
+        assert r2["tokens_predicted"] < 6
+        del md["tokenizer.ggml.eot_token_id"]
         with urllib.request.urlopen(base + "/slots", timeout=60) as resp:
             slots = json.loads(resp.read())
         assert len(slots) == 1 and slots[0]["id"] == 0

@@ -50,6 +50,7 @@ _VALUE_RULES = {
 }
 
 _NAME_RE = re.compile(r"[^a-zA-Z0-9-]+")
+_PENDING = "<pending>"   # reserved-rule placeholder (see _resolve_ref)
 
 
 def _literal(value) -> str:
@@ -88,6 +89,10 @@ class SchemaCompiler:
         """Install a rule, deduplicating identical bodies and resolving
         name collisions with numeric suffixes."""
         name = _NAME_RE.sub("-", name).strip("-") or "rule"
+        if self.rules.get(name) is _PENDING:
+            self.rules[name] = body          # fill the reserved slot
+            self._by_body.setdefault(body, name)
+            return name
         if body in self._by_body and name != "root":
             return self._by_body[body]
         if name in self.rules and self.rules[name] != body:
@@ -102,10 +107,8 @@ class SchemaCompiler:
 
     # -- schema walk ----------------------------------------------------------
 
-    def _resolve_ref(self, ref: str, name: str) -> str:
-        if ref in self._ref_names:
-            return self._ref_names[ref]
-        if not ref.startswith("#/"):
+    def _deref(self, ref: str):
+        if not isinstance(ref, str) or not ref.startswith("#/"):
             raise ValueError(f"only local $ref supported, got {ref!r}")
         node = self.schema
         for part in ref[2:].split("/"):
@@ -113,12 +116,30 @@ class SchemaCompiler:
             if not isinstance(node, dict) or part not in node:
                 raise ValueError(f"unresolvable $ref {ref!r}")
             node = node[part]
+        return node
+
+    def _resolve_ref(self, ref: str, name: str) -> str:
+        if ref in self._ref_names:
+            return self._ref_names[ref]
+        node = self._deref(ref)
         rule_name = _NAME_RE.sub("-", ref.rsplit("/", 1)[-1]) or name
-        # pre-register so recursive schemas terminate
+        # pre-register so recursive schemas terminate; the reserved name
+        # must be FRESH — recursion references are emitted against it
+        # before the body lands, so a collision with an existing rule
+        # would silently point the recursion at the wrong definition
+        if rule_name in self.rules:
+            i = 1
+            while f"{rule_name}{i}" in self.rules:
+                i += 1
+            rule_name = f"{rule_name}{i}"
+        self.rules[rule_name] = _PENDING
         self._ref_names[ref] = rule_name
         final = self.visit(node, rule_name)
-        self._ref_names[ref] = final
-        return final
+        if self.rules.get(rule_name) is _PENDING:
+            # body was deduplicated into another rule: alias the name
+            self.rules[rule_name] = final
+        self._ref_names[ref] = rule_name
+        return rule_name
 
     def visit(self, schema, name: str) -> str:
         """Compile one schema node; returns the rule name to reference."""
@@ -146,10 +167,7 @@ class SchemaCompiler:
             merged: dict = {}
             for sub in schema["allOf"]:
                 if "$ref" in sub:
-                    node = self.schema
-                    for part in sub["$ref"][2:].split("/"):
-                        node = node[part]
-                    sub = node
+                    sub = self._deref(sub["$ref"])
                 if sub.get("type", "object") != "object":
                     raise ValueError("allOf supports object members only")
                 merged.setdefault("properties", {}).update(

@@ -106,6 +106,10 @@ def fast_chain_eligible(params) -> bool:
         return False
     if p.penalty_last_n > W_RING:
         return False
+    if p.penalty_last_n < 0 and max(p.n_prev, 0) > W_RING:
+        # -1 = whole context; reproducible only while the host window
+        # (prev, capped at n_prev) fits the device ring
+        return False
     if p.temp > 0.0 and not (0 < p.top_k <= K_CHAIN):
         return False
     return True

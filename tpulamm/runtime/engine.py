@@ -416,7 +416,11 @@ class Engine:
         if self.recurrent or self.mega is not None \
                 or os.environ.get("TPULAMM_NO_KV_SPAN"):
             return None
-        occ = int(self.cell_pos.max()) + 1            # all-empty -> 0
+        # extent = highest occupied CELL INDEX (attention slices by cell,
+        # not by position — self-extend's seq_div shrinks positions while
+        # cells stay put, so cell_pos.max() would under-span there)
+        cols = np.flatnonzero((self.cell_pos >= 0).any(axis=0))
+        occ = int(cols[-1]) + 1 if len(cols) else 0
         s = max(occ + need, self.KV_SPAN_MIN)
         if s >= self.n_ctx:
             return None

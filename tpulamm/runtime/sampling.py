@@ -244,7 +244,10 @@ class Sampler:
             logits[self.eos_id] = -np.inf
 
         nl_logit = logits[self.nl_id] if self.nl_id < logits.size else None
-        last = self.prev[-p.penalty_last_n:] if p.penalty_last_n else []
+        # penalty_last_n < 0 = whole context (common.cpp maps -1 -> n_ctx)
+        last = (list(self.prev) if p.penalty_last_n < 0
+                else self.prev[-p.penalty_last_n:]) \
+            if p.penalty_last_n else []
         logits = apply_penalties(logits, last, p.penalty_repeat,
                                  p.penalty_freq, p.penalty_present)
         if not p.penalize_nl and nl_logit is not None:

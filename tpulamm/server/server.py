@@ -39,6 +39,7 @@ class Request:
     embed: bool = False          # embedding request (pooled hidden states)
     grammar: str | None = None   # GBNF constraint (server "grammar" param)
     cache_prompt: bool = False   # reuse the slot's KV prefix (server.cpp:97)
+    eot_id: int | None = None    # extra stop token (FIM end-of-turn)
     stop_strs: list = field(default_factory=list)  # server.cpp "stop" 
     out: "queue.Queue" = field(default_factory=queue.Queue)
     rid: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
@@ -277,7 +278,8 @@ class Scheduler(threading.Thread):
         tok = slot.sampler.sample(logits)
         slot.sampler.accept(tok)
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
-        stop = (tok == eos and not slot.req.params.ignore_eos)
+        stop = (tok == eos or tok == slot.req.eot_id) \
+            and not slot.req.params.ignore_eos
         if not stop:
             slot.n_gen += 1
             piece = eng.tokenizer.token_to_piece(tok) if eng.tokenizer else ""
@@ -377,7 +379,8 @@ class Scheduler(threading.Thread):
             slot.hist.extend(toks[:-1])
             done_at = None
             for j, tok in enumerate(toks):
-                if tok == eos and not slot.req.params.ignore_eos:
+                if (tok == eos or tok == slot.req.eot_id) \
+                        and not slot.req.params.ignore_eos:
                     done_at = j
                     break
                 slot.n_gen += 1
@@ -393,7 +396,8 @@ class Scheduler(threading.Thread):
                 done_at = len(toks) - 1
             if done_at is not None:
                 # slot KV is reset on reuse; no rollback needed
-                stop = (toks[done_at] == eos
+                stop = ((toks[done_at] == eos
+                         or toks[done_at] == slot.req.eot_id)
                         and not slot.req.params.ignore_eos)
                 self._finish_slot(i, "stop" if stop else "length")
             else:
@@ -427,7 +431,8 @@ class Scheduler(threading.Thread):
             slot.hist.extend(toks[:-1])
             done_at = None
             for j, tok in enumerate(toks):
-                if tok == eos and not slot.req.params.ignore_eos:
+                if (tok == eos or tok == slot.req.eot_id) \
+                        and not slot.req.params.ignore_eos:
                     done_at = j
                     break
                 # keep the host sampler canonical (penalty window for the
@@ -445,7 +450,8 @@ class Scheduler(threading.Thread):
             if done_at is None and slot.n_gen >= slot.req.n_predict:
                 done_at = len(toks) - 1
             if done_at is not None:
-                stop = (toks[done_at] == eos
+                stop = ((toks[done_at] == eos
+                         or toks[done_at] == slot.req.eot_id)
                         and not slot.req.params.ignore_eos)
                 self._finish_slot(i, "stop" if stop else "length")
             else:
@@ -553,13 +559,13 @@ def make_handler(sched: Scheduler, model_name: str):
                 # per-slot state (server.cpp GET /slots)
                 out = []
                 for i, s in enumerate(sched.slots):
-                    busy = s.req is not None
-                    out.append({
-                        "id": i, "state": 1 if busy else 0,
+                    req = s.req          # snapshot: scheduler may finish
+                    out.append({         # the slot mid-render
+                        "id": i, "state": 1 if req is not None else 0,
                         "n_past": int(sched.engine.n_past[i]),
-                        "n_decoded": s.n_gen if busy else 0,
+                        "n_decoded": s.n_gen if req is not None else 0,
                         "cache_tokens": len(s.hist),
-                        "rid": s.req.rid if busy else None})
+                        "rid": req.rid if req is not None else None})
                 self._json(200, out)
             elif self.path == "/props":
                 self._json(200, {"total_slots": sched.n_slots,
@@ -598,7 +604,8 @@ def make_handler(sched: Scheduler, model_name: str):
                 n_probs=n_probs,
             )
 
-        def _run_request(self, prompt, body, kind: str):
+        def _run_request(self, prompt, body, kind: str,
+                         eot_id: int | None = None):
             n_predict = int(body.get("n_predict",
                                      body.get("max_tokens", 128)))
             if n_predict < 0:
@@ -627,7 +634,7 @@ def make_handler(sched: Scheduler, model_name: str):
                     return
             req = Request(prompt=prompt, params=self._params_from(body),
                           n_predict=n_predict, stream=stream,
-                          grammar=grammar,
+                          grammar=grammar, eot_id=eot_id,
                           cache_prompt=bool(body.get("cache_prompt", False)),
                           stop_strs=[str(x) for x in stop])
             if body.get("rid"):
@@ -802,7 +809,10 @@ def make_handler(sched: Scheduler, model_name: str):
                 except SystemExit as e:
                     self._json(400, {"error": str(e)})
                     return
-                self._run_request(toks, body, "native")
+                eot = sched.engine.metadata.get("tokenizer.ggml.eot_token_id")
+                self._run_request(toks, body, "native",
+                                  eot_id=int(eot) if eot is not None
+                                  else None)
             elif self.path == "/cancel":
                 ok = sched.cancel(str(body.get("rid", "")))
                 self._json(200 if ok else 404, {"cancelled": ok})

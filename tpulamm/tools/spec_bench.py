@@ -39,6 +39,7 @@ def ensure_models(steps: int, out_dir: str = "tmp_bench", big: bool = False,
     from tpulamm.gguf.constants import GGMLType
     from tpulamm.tools.quality_table import build_corpus, train_model
 
+    os.makedirs(out_dir, exist_ok=True)
     name = "spec_big" if big else "spec_target"
     tgt = os.path.join(out_dir, f"{name}_f32.gguf")
     drf = os.path.join(out_dir, "spec_draft_f32.gguf")
