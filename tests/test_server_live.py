@@ -210,6 +210,17 @@ def test_server_tensor_parallel(tmp_path_factory):
                           "temperature": 0.0})
         obj = json.loads(body)
         assert st == 200 and obj["tokens_predicted"] > 0
+        # penalties-default requests ride the sampled fast path under tp
+        st, body = _post(base, "/completion",
+                         {"prompt": "a dog", "n_predict": 6,
+                          "temperature": 0.0, "repeat_penalty": 1.3})
+        obj2 = json.loads(body)
+        assert st == 200 and obj2["tokens_predicted"] == 6
+        with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+            m = r.read().decode()
+        line = [x for x in m.splitlines()
+                if x.startswith("llamacpp:decode_sampled_blocks_total ")][0]
+        assert float(line.split()[-1]) > 0
     finally:
         started.sched.running = False
         started.httpd.shutdown()

@@ -1095,9 +1095,8 @@ class Engine:
 
         from tpulamm.ops.device_sampling import (params_from_samplers,
                                                  ring_from_prev)
-        if self.mesh is not None or self.recurrent:
-            raise ValueError("sampled fast path: unmeshed, non-recurrent "
-                             "engines only")
+        if self.recurrent:
+            raise ValueError("sampled fast path: non-recurrent engines only")
         for s in toks:
             n = int(self.n_past[s])
             if not np.array_equal(self.cell_pos[s, :n], np.arange(n)):
@@ -1123,8 +1122,21 @@ class Engine:
         span = self._kv_span(int(n_steps))
         fn = self._sampled_scan_cache.get((n_steps, span))
         if fn is None:
-            fn = jax.jit(self._batch_scan_body_sampled(int(n_steps), span),
-                         donate_argnums=(1,))
+            body = self._batch_scan_body_sampled(int(n_steps), span)
+            if self.mesh is None:
+                fn = jax.jit(body, donate_argnums=(1,))
+            else:
+                # rows (slots) shard over dp; SampParams leaves are (B,)
+                # vectors (the bare P("dp") is a pytree prefix), the token
+                # ring is (W, B); counts are built per-shard in-body
+                from jax.sharding import PartitionSpec as P
+                fn = self._wrap_step(
+                    body,
+                    in_specs=(self._pspecs, self._cache_pspecs, P("dp"),
+                              P("dp"), P("dp"), P(), P("dp"),
+                              P(None, "dp"), P()),
+                    out_specs=(P(None, "dp"), self._cache_pspecs),
+                    donate=(1,))
             self._sampled_scan_cache[(n_steps, span)] = fn
         out, self.cache = fn(
             self.params, self.cache, jnp.asarray(tok), jnp.asarray(pos),

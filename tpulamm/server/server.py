@@ -492,7 +492,7 @@ class Scheduler(threading.Thread):
             # default queue) — covers the OpenAI-default request shape
             # that used to fall to the per-token host loop
             from tpulamm.ops.device_sampling import fast_chain_eligible
-            if (self.pending.empty() and self.engine.mesh is None
+            if (self.pending.empty()
                     and not self.engine.recurrent
                     and all(self.slots[i].sampler.grammar is None
                             and not self.slots[i].req.stop_strs
