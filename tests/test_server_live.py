@@ -357,3 +357,70 @@ def test_response_format_json_schema(server):
     assert st2 == 400
     st3, _ = _get(server, "/health")
     assert st3 == 200
+
+
+def test_server_lookup_decoding(tmp_path_factory):
+    """Opt-in single-slot prompt-lookup speculation: greedy output is
+    byte-identical to a plain server; the spec metrics move; concurrent
+    requests bypass the spec tier cleanly."""
+    torch.manual_seed(8)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv_lu") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+
+    from tpulamm.server.server import serve
+
+    def boot(lookup):
+        started = threading.Event()
+        th = threading.Thread(
+            target=serve, args=(path,),
+            kwargs=dict(port=0, n_slots=2, n_ctx=128, started=started,
+                        lookup_decoding=lookup), daemon=True)
+        th.start()
+        assert started.wait(timeout=300)
+        return started
+
+    body = {"prompt": "the cat sat on the mat, the cat sat on",
+            "n_predict": 24, "temperature": 0.0, "repeat_penalty": 1.0}
+    plain_srv = boot(False)
+    try:
+        st, b = _post(f"http://127.0.0.1:{plain_srv.httpd.server_port}",
+                      "/completion", body)
+        ref = json.loads(b)["content"]
+    finally:
+        plain_srv.sched.running = False
+        plain_srv.httpd.shutdown()
+
+    lu = boot(True)
+    base = f"http://127.0.0.1:{lu.httpd.server_port}"
+    try:
+        st, b = _post(base, "/completion", body)
+        obj = json.loads(b)
+        assert obj["content"] == ref                 # greedy-exact
+        assert lu.sched.metrics.spec_blocks > 0
+        assert lu.sched.metrics.spec_drafted > 0
+        # concurrent pair: spec tier steps aside, both complete
+        outs = {}
+
+        def go(n):
+            _, bb = _post(base, "/completion", dict(body, n_predict=8))
+            outs[n] = json.loads(bb)["tokens_predicted"]
+        ts = [threading.Thread(target=go, args=(n,)) for n in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert outs[0] == 8 and outs[1] == 8
+        # follow-up single request still exact after mixed traffic
+        st, b = _post(base, "/completion", body)
+        assert json.loads(b)["content"] == ref
+    finally:
+        lu.sched.running = False
+        lu.httpd.shutdown()

@@ -369,7 +369,8 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
                 jax.random.PRNGKey(seed + len(out)), jnp.float32(temp),
                 jnp.int32(eos if stop_on_eos else -1),
                 jnp.int32(n_predict - len(out)))
-        rows, accs = np.asarray(rows), np.asarray(accs)
+        rows, accs, n_steps, pos = jax.device_get((rows, accs, n_steps,
+                                                   pos))   # one round-trip
         n_steps, pos = int(n_steps), int(pos)
         if n_steps == 0:
             break                                    # context full
@@ -426,6 +427,7 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
     k = n_draft
     Vt = cfg_t.vocab_size
     n_ctx = target.n_ctx
+    B = target.n_slots
 
     # history buffer is padded past n_ctx so every in-scan write is a
     # CONTIGUOUS dynamic_update_slice — a masked scatter here measured
@@ -456,7 +458,7 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
             found = found | hit
         return h, cand
 
-    def run(params_t, cache_t, h, first_tok, start_pos, key, temp,
+    def run(params_t, cache_t, h, first_tok, start_pos, slot, key, temp,
             eos_id, n_predict):
         rows0 = jnp.full((max_steps, k + 1), -1, jnp.int32)
         accs0 = jnp.zeros((max_steps,), jnp.int32)
@@ -472,10 +474,15 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
 
             toks = jnp.concatenate([tok[None], draft_toks])          # (k+1,)
             poss = pos + jnp.arange(k + 1, dtype=jnp.int32)
-            logits, cache_t = fwd_t(params_t, cfg_t, toks[None],
-                                    poss[None], cache_t, None, poss[None],
-                                    kv_span=span_t)
-            lg = logits[0, :, :Vt]                                 # (k+1, V)
+            # all-slots batch view: only `slot`'s row is live, the rest
+            # pad to the trash cell (the engine's n-row step contract)
+            rowm = (jnp.arange(B, dtype=jnp.int32) == slot)[:, None]
+            tokt = jnp.where(rowm, toks[None, :], 0)
+            post = jnp.where(rowm, poss[None, :], -1)
+            cellt = jnp.where(rowm, poss[None, :], n_ctx)
+            logits, cache_t = fwd_t(params_t, cfg_t, tokt, post, cache_t,
+                                    None, cellt, kv_span=span_t)
+            lg = logits[slot, :, :Vt]                              # (k+1, V)
             if greedy:
                 tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             else:
@@ -517,19 +524,20 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
                                 n_predict: int = 128, n_draft: int = 5,
                                 ngram_min: int = 1, ngram_max: int = 4,
                                 temp: float = 0.0, top_k: int = 40,
-                                seed: int = 0, stop_on_eos: bool = True):
+                                seed: int = 0, stop_on_eos: bool = True,
+                                slot: int = 0):
     """Prompt n-gram speculative decoding with the whole loop on device
     (lookup.cpp parity, zero drafting cost). Greedy output is identical to
     plain greedy decoding. Returns (token_ids, text, SpecStats)."""
     import jax
     import jax.numpy as jnp
 
-    if engine.mesh is not None or engine.recurrent or engine.n_slots != 1:
-        raise ValueError("engine must be single-slot, unmeshed, "
-                         "non-recurrent for on-device speculation")
+    if engine.mesh is not None or engine.recurrent:
+        raise ValueError("engine must be unmeshed, non-recurrent for "
+                         "on-device speculation")
     tokens = _tokens(engine, prompt)
-    engine.reset_slot(0)
-    logits = engine.prefill(0, tokens)
+    engine.reset_slot(slot)
+    logits = engine.prefill(slot, tokens)
     import time
     t0 = time.perf_counter()
     first = int(np.argmax(logits))
@@ -545,9 +553,9 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
     out = [first]
     cur = first
     history = list(tokens)          # tokens BEFORE the current position
-    start0 = int(engine.n_past[0])
+    start0 = int(engine.n_past[slot])
     while len(out) < n_predict and not (stop_on_eos and eos in out):
-        startb = int(engine.n_past[0])
+        startb = int(engine.n_past[slot])
         span_t = engine._kv_span(n_predict - len(out) + 2 * n_draft + 2)
         cache_key = ("lookup", n_draft, ngram_min, ngram_max, max_steps,
                      top_k, greedy, span_t)
@@ -560,11 +568,12 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
         h[:len(history)] = history
         rows, accs, n_steps, pos, engine.cache = scans[cache_key](
             engine.params, engine.cache, jnp.asarray(h),
-            jnp.int32(cur), jnp.int32(startb),
+            jnp.int32(cur), jnp.int32(startb), jnp.int32(slot),
             jax.random.PRNGKey(seed + len(out)), jnp.float32(temp),
             jnp.int32(eos if stop_on_eos else -1),
             jnp.int32(n_predict - len(out)))
-        rows, accs = np.asarray(rows), np.asarray(accs)
+        rows, accs, n_steps, pos = jax.device_get((rows, accs, n_steps,
+                                                   pos))   # one round-trip
         n_steps, pos = int(n_steps), int(pos)
         if n_steps == 0:
             break                                    # context full
@@ -572,21 +581,21 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
         stats.n_drafted += n_draft * n_steps
         stats.n_accepted += int(accs[:n_steps].sum())
         block = [int(t) for r in rows[:n_steps] for t in r if t >= 0]
-        engine.n_past[0] = pos
-        engine.cell_pos[0, startb:pos] = np.arange(startb, pos)
+        engine.n_past[slot] = pos
+        engine.cell_pos[slot, startb:pos] = np.arange(startb, pos)
         history.append(cur)
         history.extend(block[:-1])   # block[-1] is the new carry token
         out.extend(block)
         cur = out[-1]
         if pos + n_draft + 1 > engine.n_ctx:
             break                                    # context full
-    total_written = int(engine.n_past[0]) - start0
+    total_written = int(engine.n_past[slot]) - start0
     out = out[:n_predict]
     if stop_on_eos and eos in out:
         out = out[:out.index(eos)]
     tgt_past = start0 + min(len(out), total_written)
-    if tgt_past != int(engine.n_past[0]):
-        engine.rollback(0, tgt_past)
+    if tgt_past != int(engine.n_past[slot]):
+        engine.rollback(slot, tgt_past)
     engine.timings.t_eval += time.perf_counter() - t0
     engine.timings.n_eval += len(out)
     text = engine.tokenizer.decode(out) if engine.tokenizer else ""

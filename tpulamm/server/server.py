@@ -78,6 +78,10 @@ class Metrics:
         # fast blocks that used the full on-device sampler chain
         # (penalties + default queue) rather than plain temp/top-k
         self.sampled_blocks = 0
+        # single-slot speculative (prompt-lookup) blocks + their economics
+        self.spec_blocks = 0
+        self.spec_drafted = 0
+        self.spec_accepted = 0
         # prompt tokens satisfied from a cached KV prefix (cache_prompt)
         self.cached_prompt_tokens = 0
 
@@ -100,6 +104,12 @@ class Metrics:
             f"llamacpp:decode_slow_steps_total {self.slow_steps}\n"
             "# TYPE llamacpp:decode_sampled_blocks_total counter\n"
             f"llamacpp:decode_sampled_blocks_total {self.sampled_blocks}\n"
+            "# TYPE llamacpp:spec_blocks_total counter\n"
+            f"llamacpp:spec_blocks_total {self.spec_blocks}\n"
+            "# TYPE llamacpp:spec_drafted_total counter\n"
+            f"llamacpp:spec_drafted_total {self.spec_drafted}\n"
+            "# TYPE llamacpp:spec_accepted_total counter\n"
+            f"llamacpp:spec_accepted_total {self.spec_accepted}\n"
             "# TYPE llamacpp:prompt_cached_tokens_total counter\n"
             f"llamacpp:prompt_cached_tokens_total "
             f"{self.cached_prompt_tokens}\n")
@@ -108,10 +118,17 @@ class Metrics:
 class Scheduler(threading.Thread):
     """update_slots loop: assign queued requests to slots, batch-decode."""
 
-    def __init__(self, engine, n_slots: int):
+    LOOKUP_DRAFT = 4     # n-gram draft length for single-slot spec blocks
+    LOOKUP_STEPS = 64    # verify steps per spec block
+
+    def __init__(self, engine, n_slots: int, lookup_decoding: bool = False):
         super().__init__(daemon=True)
         self.engine = engine
         self.n_slots = n_slots
+        # opt-in: single-active-slot prompt-lookup speculation (wins on
+        # weight-streaming-bound models; a tiny model is per-step-
+        # overhead-bound and plain blocks are faster — PERF.md)
+        self.lookup_decoding = lookup_decoding
         self.slots = [SlotState() for _ in range(n_slots)]
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.metrics = Metrics()
@@ -350,7 +367,10 @@ class Scheduler(threading.Thread):
         eng = self.engine
         remaining = min(self.slots[i].req.n_predict - self.slots[i].n_gen
                         for i in active)
-        n = max(1, min(8, remaining))
+        # single-stream: bigger blocks amortize the per-dispatch floor
+        # (nothing is waiting — the fast tiers require an empty queue);
+        # multi-slot keeps short blocks so finished slots free up fast
+        n = max(1, min(64 if len(active) == 1 else 8, remaining))
         temps = {i: self.slots[i].req.params.temp for i in active}
         # stochastic requests share one top_k here (gated in run());
         # greedy slots never consult it
@@ -412,7 +432,7 @@ class Scheduler(threading.Thread):
         eng = self.engine
         remaining = min(self.slots[i].req.n_predict - self.slots[i].n_gen
                         for i in active)
-        n = max(1, min(8, remaining))
+        n = max(1, min(64 if len(active) == 1 else 8, remaining))
         self._block_counter += 1
         seed = self._block_counter * 1000003
         for i in sorted(active):
@@ -458,6 +478,84 @@ class Scheduler(threading.Thread):
                 slot.next_tok = toks[-1]
         return True
 
+    def _run_lookup_block(self, i: int, carry: int) -> bool:
+        """Single-active-slot prompt-lookup speculation: one dispatch of
+        the on-device draft/verify/accept loop emits up to
+        LOOKUP_STEPS*(k+1) tokens with zero drafting cost (lookup.cpp
+        fused into serving). Greedy-exact; False -> caller falls back."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpulamm.runtime.speculative import _build_lookup_scan
+        eng = self.engine
+        slot = self.slots[i]
+        if eng.recurrent or eng.mesh is not None:
+            return False
+        n = int(eng.n_past[i])
+        k = self.LOOKUP_DRAFT
+        if (len(slot.hist) != n or n + k + 1 > eng.n_ctx
+                or not np.array_equal(eng.cell_pos[i, :n], np.arange(n))):
+            return False
+        remaining = slot.req.n_predict - slot.n_gen
+        budget = min(max(remaining, 1), self.LOOKUP_STEPS * (k + 1))
+        scans = getattr(eng, "_spec_scans", None)
+        if scans is None:
+            scans = eng._spec_scans = {}
+        span = eng._kv_span(budget + 2 * k + 2)
+        key = ("srv-lookup", k, self.LOOKUP_STEPS, span)
+        if key not in scans:
+            scans[key] = _build_lookup_scan(eng, k, self.LOOKUP_STEPS,
+                                            40, True, 1, 4, span_t=span)
+        h = np.full(eng.n_ctx + k + 2, -1, np.int32)
+        h[:n] = slot.hist
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        stop_eos = not slot.req.params.ignore_eos
+        rows, accs, n_steps, pos, eng.cache = scans[key](
+            eng.params, eng.cache, jnp.asarray(h), jnp.int32(carry),
+            jnp.int32(n), jnp.int32(i), jax.random.PRNGKey(0),
+            jnp.float32(0.0), jnp.int32(eos if stop_eos else -1),
+            jnp.int32(budget))
+        import jax
+        # ONE device->host transfer: four separate np.asarray/int() pulls
+        # cost a tunnel round-trip each (~25 ms apiece)
+        rows, accs, n_steps, pos = jax.device_get((rows, accs, n_steps,
+                                                   pos))
+        n_steps, pos = int(n_steps), int(pos)
+        if n_steps == 0:
+            return False
+        eng.n_past[i] = pos
+        eng.cell_pos[i, n:pos] = np.arange(n, pos)
+        block = [int(t) for r in rows[:n_steps] for t in r if t >= 0]
+        slot.hist.append(carry)
+        slot.hist.extend(block[:-1])       # block[-1] is the new carry
+        with self.metrics.lock:
+            self.metrics.spec_blocks += 1
+            self.metrics.spec_drafted += k * n_steps
+            self.metrics.spec_accepted += int(accs[:n_steps].sum())
+        done_at = None
+        for j, tok in enumerate(block):
+            if (tok == eos or tok == slot.req.eot_id) and stop_eos:
+                done_at = j
+                break
+            slot.n_gen += 1
+            piece = (eng.tokenizer.token_to_piece(tok)
+                     if eng.tokenizer else "")
+            slot.req.out.put(("tok", tok, piece, None))
+            with self.metrics.lock:
+                self.metrics.generated_tokens += 1
+            if slot.n_gen >= slot.req.n_predict:
+                done_at = j
+                break
+        if done_at is None and slot.n_gen >= slot.req.n_predict:
+            done_at = len(block) - 1
+        if done_at is not None:
+            stop = ((block[done_at] == eos or block[done_at]
+                     == slot.req.eot_id) and stop_eos)
+            self._finish_slot(i, "stop" if stop else "length")
+        else:
+            slot.next_tok = block[-1]
+        return True
+
     def run(self):
         while self.running:
             self._sweep_cancelled()
@@ -470,6 +568,20 @@ class Scheduler(threading.Thread):
             if not active:
                 time.sleep(0.002)
                 continue
+            # single active slot + greedy: opt-in prompt-lookup
+            # speculation (tokens-per-dispatch multiplies by acceptance)
+            if (self.lookup_decoding and len(active) == 1
+                    and self.pending.empty()):
+                i = next(iter(active))
+                s = self.slots[i]
+                if (s.sampler.grammar is None and not s.req.stop_strs
+                        and s.req.params.n_probs == 0
+                        and s.req.params.temp <= 0.0
+                        and self._fast_eligible(s.req.params)
+                        and self._run_lookup_block(i, active[i])):
+                    with self.metrics.lock:
+                        self.metrics.fast_blocks += 1
+                    continue
             # multi-token on-device blocks when no request is waiting to
             # join and every active request uses scan-reproducible sampling
             # (the GBNF constraint lives on the sampler, not SamplingParams —
@@ -832,12 +944,13 @@ def make_handler(sched: Scheduler, model_name: str):
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           n_slots: int = 4, n_ctx: int = 2048, compute_dtype=None,
           started: threading.Event | None = None, tp: int = 1, dp: int = 1,
-          cache_type_k="bfloat16", cache_type_v=None):
+          cache_type_k="bfloat16", cache_type_v=None,
+          lookup_decoding: bool = False):
     from tpulamm.runtime.engine import Engine
     engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
                     compute_dtype=compute_dtype, tp=tp, dp=dp,
                     kv_dtype=cache_type_k, kv_dtype_v=cache_type_v)
-    sched = Scheduler(engine, n_slots)
+    sched = Scheduler(engine, n_slots, lookup_decoding=lookup_decoding)
     sched.engine = engine
     sched.start()
     httpd = ThreadingHTTPServer((host, port),
@@ -868,6 +981,9 @@ def main(argv=None):
                    choices=KV_CACHE_TYPES)
     p.add_argument("-ctv", "--cache-type-v", default=None,
                    choices=KV_CACHE_TYPES)
+    p.add_argument("--lookup-decoding", action="store_true",
+                   help="single-active-slot prompt-lookup speculation "
+                        "(greedy-exact; wins on weight-bound models)")
     from tpulamm.utils import log as logm
     logm.add_args(p)
     args = p.parse_args(argv)
@@ -876,7 +992,8 @@ def main(argv=None):
     serve(args.model, args.host, args.port, n_slots=args.parallel,
           n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
           tp=args.tp, dp=args.dp,
-          cache_type_k=args.cache_type_k, cache_type_v=args.cache_type_v)
+          cache_type_k=args.cache_type_k, cache_type_v=args.cache_type_v,
+          lookup_decoding=args.lookup_decoding)
 
 
 if __name__ == "__main__":
