@@ -361,6 +361,41 @@ class Scheduler(threading.Thread):
         return (p.top_k > 0 and p.top_p >= 1.0 and p.min_p <= 0.0
                 and p.tfs_z >= 1.0 and p.typical_p >= 1.0)
 
+    def _emit_generated(self, i: int, toks: list,
+                        accept: bool = False) -> None:
+        """Emit a block of generated tokens for slot i, finishing the
+        slot on eos/EOT/n_predict (shared by the plain, sampled-chain
+        and lookup block runners). accept=True also feeds tokens into
+        the host sampler (penalty window for the next sampled block)."""
+        eng = self.engine
+        slot = self.slots[i]
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        stop_eos = not slot.req.params.ignore_eos
+        done_at = None
+        for j, tok in enumerate(toks):
+            if (tok == eos or tok == slot.req.eot_id) and stop_eos:
+                done_at = j
+                break
+            if accept:
+                slot.sampler.accept(tok, apply_grammar=False)
+            slot.n_gen += 1
+            piece = (eng.tokenizer.token_to_piece(tok)
+                     if eng.tokenizer else "")
+            slot.req.out.put(("tok", tok, piece, None))
+            with self.metrics.lock:
+                self.metrics.generated_tokens += 1
+            if slot.n_gen >= slot.req.n_predict:
+                done_at = j
+                break
+        if done_at is None and slot.n_gen >= slot.req.n_predict:
+            done_at = len(toks) - 1
+        if done_at is not None:
+            stop = ((toks[done_at] == eos
+                     or toks[done_at] == slot.req.eot_id) and stop_eos)
+            self._finish_slot(i, "stop" if stop else "length")
+        else:
+            slot.next_tok = toks[-1]
+
     def _run_fast_block(self, active: dict[int, int]) -> bool:
         """Multi-token on-device block for all active slots; False if the
         engine can't take the fast path (falls back to per-token)."""
@@ -391,37 +426,11 @@ class Scheduler(threading.Thread):
                                            seed=seed & 0x7FFFFFFF)
         except ValueError:
             return False
-        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
         for i, toks in blocks.items():
-            slot = self.slots[i]
             # engine fed the carry token + all but the last sample
-            slot.hist.append(active[i])
-            slot.hist.extend(toks[:-1])
-            done_at = None
-            for j, tok in enumerate(toks):
-                if (tok == eos or tok == slot.req.eot_id) \
-                        and not slot.req.params.ignore_eos:
-                    done_at = j
-                    break
-                slot.n_gen += 1
-                piece = (eng.tokenizer.token_to_piece(tok)
-                         if eng.tokenizer else "")
-                slot.req.out.put(("tok", tok, piece, None))
-                with self.metrics.lock:
-                    self.metrics.generated_tokens += 1
-                if slot.n_gen >= slot.req.n_predict:
-                    done_at = j
-                    break
-            if done_at is None and slot.n_gen >= slot.req.n_predict:
-                done_at = len(toks) - 1
-            if done_at is not None:
-                # slot KV is reset on reuse; no rollback needed
-                stop = ((toks[done_at] == eos
-                         or toks[done_at] == slot.req.eot_id)
-                        and not slot.req.params.ignore_eos)
-                self._finish_slot(i, "stop" if stop else "length")
-            else:
-                slot.next_tok = toks[-1]
+            self.slots[i].hist.append(active[i])
+            self.slots[i].hist.extend(toks[:-1])
+            self._emit_generated(i, toks)
         return True
 
     def _run_sampled_block(self, active: dict[int, int]) -> bool:
@@ -444,38 +453,10 @@ class Scheduler(threading.Thread):
                                               seed=seed & 0x7FFFFFFF)
         except ValueError:
             return False
-        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
         for i, toks in blocks.items():
-            slot = self.slots[i]
-            slot.hist.append(active[i])
-            slot.hist.extend(toks[:-1])
-            done_at = None
-            for j, tok in enumerate(toks):
-                if (tok == eos or tok == slot.req.eot_id) \
-                        and not slot.req.params.ignore_eos:
-                    done_at = j
-                    break
-                # keep the host sampler canonical (penalty window for the
-                # next block lives in sampler.prev)
-                slot.sampler.accept(tok, apply_grammar=False)
-                slot.n_gen += 1
-                piece = (eng.tokenizer.token_to_piece(tok)
-                         if eng.tokenizer else "")
-                slot.req.out.put(("tok", tok, piece, None))
-                with self.metrics.lock:
-                    self.metrics.generated_tokens += 1
-                if slot.n_gen >= slot.req.n_predict:
-                    done_at = j
-                    break
-            if done_at is None and slot.n_gen >= slot.req.n_predict:
-                done_at = len(toks) - 1
-            if done_at is not None:
-                stop = ((toks[done_at] == eos
-                         or toks[done_at] == slot.req.eot_id)
-                        and not slot.req.params.ignore_eos)
-                self._finish_slot(i, "stop" if stop else "length")
-            else:
-                slot.next_tok = toks[-1]
+            self.slots[i].hist.append(active[i])
+            self.slots[i].hist.extend(toks[:-1])
+            self._emit_generated(i, toks, accept=True)
         return True
 
     def _run_lookup_block(self, i: int, carry: int) -> bool:
@@ -532,28 +513,7 @@ class Scheduler(threading.Thread):
             self.metrics.spec_blocks += 1
             self.metrics.spec_drafted += k * n_steps
             self.metrics.spec_accepted += int(accs[:n_steps].sum())
-        done_at = None
-        for j, tok in enumerate(block):
-            if (tok == eos or tok == slot.req.eot_id) and stop_eos:
-                done_at = j
-                break
-            slot.n_gen += 1
-            piece = (eng.tokenizer.token_to_piece(tok)
-                     if eng.tokenizer else "")
-            slot.req.out.put(("tok", tok, piece, None))
-            with self.metrics.lock:
-                self.metrics.generated_tokens += 1
-            if slot.n_gen >= slot.req.n_predict:
-                done_at = j
-                break
-        if done_at is None and slot.n_gen >= slot.req.n_predict:
-            done_at = len(block) - 1
-        if done_at is not None:
-            stop = ((block[done_at] == eos or block[done_at]
-                     == slot.req.eot_id) and stop_eos)
-            self._finish_slot(i, "stop" if stop else "length")
-        else:
-            slot.next_tok = block[-1]
+        self._emit_generated(i, block)
         return True
 
     def run(self):
