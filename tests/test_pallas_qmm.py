@@ -100,3 +100,29 @@ def test_pallas_kc_tail_masking(rng, kc, cdt):
     nmse = ((got - expect) ** 2).mean() / (expect ** 2).mean()
     assert np.isfinite(got).all()
     assert nmse < (1e-9 if cdt == jnp.float32 else 1e-4), nmse
+
+
+@pytest.mark.parametrize("kc", [1, 2, 4])
+def test_int8_dot_path(dtype, rng, monkeypatch, kc):
+    """int8-activation MXU path (TPULAMM_INT8_DOT): error must stay within
+    the reference's Q8-activation dot budget (test-quantize-fns.cpp:22
+    dot tolerance 0.02 — ours is per-group symmetric int8 like
+    quantize_row_q8_0, ggml-quants.c:1182)."""
+    if dtype == "f32":
+        pytest.skip("dense matmul handled by XLA directly")
+    monkeypatch.setenv("TPULAMM_INT8_DOT", "force")
+    qtype = QTYPES[dtype]
+    n, k = 256, 256 * 5                     # kc tail coverage at kc=2,4
+    w = (rng.normal(size=(n, k)) * 0.7).astype(np.float32)
+    raw = formats.quantize(w, qtype)
+    qt = QTensor.from_gguf_raw(raw, qtype, (n, k), layout="mm")
+    x = rng.normal(size=(3, k)).astype(np.float32)
+    expect = np.asarray(x @ np.asarray(dequant_mm(qt, jnp.float32)))
+    got = np.asarray(qmm_pallas(jnp.asarray(x), qt, kc=kc,
+                                interpret=True))[:3]
+    assert np.isfinite(got).all()
+    nmse = ((got - expect) ** 2).mean() / (expect ** 2).mean()
+    assert nmse < 1e-3, f"{dtype} int8 nmse {nmse}"
+    # exact-dequant golden: int8 activation quantization error only
+    rel = np.abs(got - expect).max() / np.abs(expect).max()
+    assert rel < 0.05, f"{dtype} int8 maxrel {rel}"

@@ -148,6 +148,160 @@ def _unpack_values_i8(qtype: GGMLType, planes: dict[str, jnp.ndarray],
     raise ValueError(qtype)
 
 
+def _quantize_acts(xm: jnp.ndarray, ga: int):
+    """Per-group symmetric int8 activation quantization (XLA prologue).
+
+    The reference quantizes activations to Q8_0/Q8_1/Q8_K per 32/256-group
+    before every integer vec_dot (ggml.c:10867-10886 INIT phase; type map
+    ggml.c:458-778 vec_dot_type column). TPU analogue: qx int8 codes with a
+    per-(row, group) f32 scale, plus the EXACT per-group activation sums
+    (f32, pre-quantization) used for the zero/min correction term — the
+    correction therefore carries no activation-quantization error at all
+    (better than the reference's integer bsums).
+
+    Returns (qxT (G, M, ga) int8, sxT (G, M) f32, gsumT (G, M) f32) — all
+    group-major so every VMEM block has M (block == array dim) on the lane
+    axis.
+    """
+    m, k = xm.shape
+    g = k // ga
+    xg = xm.astype(jnp.float32).reshape(m, g, ga)
+    amax = jnp.max(jnp.abs(xg), axis=-1)
+    s = amax * jnp.float32(1.0 / 127.0)
+    s_safe = jnp.where(s > 0, s, jnp.float32(1.0))
+    qx = jnp.clip(jnp.round(xg / s_safe[..., None]), -127, 127)
+    qxT = qx.astype(jnp.int8).transpose(1, 0, 2)
+    return qxT, s_safe.T, xg.sum(-1).T
+
+
+def _make_int8_kernel(qtype: GGMLType, tn: int, kc: int, k_total: int):
+    """int8 x int8 MXU dequant-dot kernel (decode/gemv regime).
+
+    Structure (the reference's vec_dot architecture, MXU-shaped):
+      out[m,n] = sum_g sx[m,g] * sw[g,n] * idot[g,m,n]
+               + gsum[m,:] @ (min[g,n] - zero*sw[g,n])
+    where idot is a per-group int8xint8 -> i32 batched MXU dot of depth
+    `group` (32; 16 for Q2_K). Weights are never widened past int8 on the
+    VPU — the per-element scale FMA of the f32 path becomes per-GROUP plane
+    math at M/group density, which is what this path buys in the
+    VPU-unpack-bound decode regime (PERF.md Decode floor).
+    """
+    spec = SPECS[qtype]
+    names = PLANE_ORDER[qtype]
+    tk = kc * TK
+    gw = spec.group
+    groups = tk // gw
+    has_tail = k_total % tk != 0
+    corr = spec.zero != 0 or spec.has_min
+
+    def kernel(qx_ref, sx_ref, *refs):
+        if corr:
+            gsum_ref, refs = refs[0], refs[1:]
+        plane_refs = dict(zip(names, refs[:-1]))
+        out_ref = refs[-1]
+        kstep = pl.program_id(1)
+
+        def tail_mask(arr, axis: int):
+            """Zero group-rows past K (tail block of the cdiv grid); every
+            term below is killed through a masked factor, and int garbage
+            can't be NaN, so the masked products are exact zeros."""
+            if not has_tail:
+                return arr
+            gr = (jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis)
+                  + kstep * groups)
+            return jnp.where(gr * gw < k_total, arr, 0)
+
+        sw = tail_mask(_load_scales(plane_refs["scales"]), 0)  # (groups, tn)
+        qv = _unpack_values_i8(qtype, plane_refs, kc, tn)      # (tk, tn) i8
+        qv3 = qv.reshape(groups, gw, tn)
+        idot = jax.lax.dot_general(
+            qx_ref[:], qv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)                  # (groups, M, tn)
+        sx = tail_mask(sx_ref[:], 0)                           # (groups, M)
+        part = jnp.sum(idot.astype(jnp.float32) * sw[:, None, :]
+                       * sx[:, :, None], axis=0)               # (M, tn)
+        if corr:
+            off = -spec.zero * sw
+            if spec.has_min:
+                off = off + tail_mask(_load_scales(plane_refs["mins"]), 0)
+            g = tail_mask(gsum_ref[:], 0)                      # (groups, M)
+            part = part + jax.lax.dot_general(
+                g, off, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(kstep == 0)
+        def _():
+            out_ref[:] = part
+
+        @pl.when(kstep > 0)
+        def _():
+            out_ref[:] = out_ref[:] + part
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qtype", "n", "k", "tn", "kc",
+                                    "interpret"))
+def _qmm_int8_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int,
+                   tn: int, kc: int, interpret: bool):
+    planes = {nm: (jax.lax.bitcast_convert_type(p, jnp.uint16)
+                   if p.dtype == jnp.float16 else p)
+              for nm, p in planes.items()}
+    spec = SPECS[qtype]
+    corr = spec.zero != 0 or spec.has_min
+    m_pad = max(8, -(-x.shape[0] // 8) * 8)
+    if m_pad != x.shape[0]:
+        x = jnp.pad(x.astype(jnp.float32), ((0, m_pad - x.shape[0]), (0, 0)))
+    m = m_pad
+    qxT, sxT, gsum = _quantize_acts(x, spec.group)
+    names = PLANE_ORDER[qtype]
+    tk = kc * TK
+    groups = tk // spec.group
+    n_k = pl.cdiv(k, tk)
+
+    in_specs = [
+        pl.BlockSpec((groups, m, spec.group), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((groups, m), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [qxT, sxT]
+    if corr:
+        in_specs.append(pl.BlockSpec((groups, m), lambda i, j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(gsum)
+    for name in names:
+        if name in PLANE_ROWS:
+            rows = PLANE_ROWS[name] * kc
+        else:  # scales / mins
+            rows = groups
+        in_specs.append(pl.BlockSpec((rows, tn), lambda i, j: (j, i),
+                                     memory_space=pltpu.VMEM))
+
+    out_spec = pl.BlockSpec((m, tn), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    qbytes = sum(p.size * p.dtype.itemsize for p in planes.values())
+    cost = pl.CostEstimate(
+        flops=2 * m * k * n,
+        bytes_accessed=qbytes + m * k + m * n * 4,
+        transcendentals=0,
+    )
+    kernel = _make_int8_kernel(qtype, tn, kc, k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tn, n_k),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*inputs, *[planes[nm] for nm in names])
+
+
 def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int,
                  k_total: int):
     spec = SPECS[qtype]
@@ -340,6 +494,52 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
 
     gemv = m_pad <= 16
     bits5 = SPECS[qt.qtype].bits == 5
+
+    def divisor_tile(cap: int) -> int:
+        """Largest multiple-of-128 divisor of N that is <= cap; non-pow2
+        shapes like the 7B gate|up (22016 = 43*512) only tile wide this
+        way (tn=5504 measured 542 GB/s int8 / 476 f32 vs 440-496 at
+        tn=512 on v5e)."""
+        for d in range(cap // 128, 0, -1):
+            if n % (d * 128) == 0:
+                return d * 128
+        return 128
+
+    import os
+    if gemv and os.environ.get("TPULAMM_INT8_DOT"):
+        # int8 activations + int8xint8 MXU dots with per-group rescale —
+        # the reference's vec_dot_type architecture (ggml.c:458-778).
+        # Opt-in while under in-scan A/B; see PERF.md.
+        # Tile rules from the on-chip sweep: take the widest <=8192
+        # divisor tile (non-pow2 allowed: 7B gate|up tn=5504 542 GB/s),
+        # K-step sized to tk*tn ~ 1M elements (attno tn=2048/kc=2,
+        # gateup-1.1B tn=5632/kc=1); below tn=1024 the batched depth-32
+        # MXU dots lose to the f32 path (qkv 2560x2048: int8 8.0-12.0us
+        # vs f32 6.7us) — fall through.
+        tn8 = tn if tn is not None else divisor_tile(8192)
+        # "force" drops the width gate (tests exercise small-N shapes)
+        min_tn = 128 if os.environ["TPULAMM_INT8_DOT"] == "force" else 1024
+        if tn8 >= min_tn:
+            kc8 = kc
+            if kc8 is None:
+                kc_target = max(1, (1 << 20) // (TK * tn8))
+                n_chunks = k // TK
+                kc8 = 1
+                for cand in (8, 4, 2):
+                    if cand <= kc_target and n_chunks % cand == 0:
+                        kc8 = cand
+                        break
+                else:
+                    for cand in (8, 4, 2):
+                        if cand <= kc_target and n_chunks >= 2 * cand:
+                            kc8 = cand
+                            break
+            if x.dtype not in (jnp.bfloat16, jnp.float32):
+                x = x.astype(jnp.float32)
+            out = _qmm_int8_call(x, qt.planes, qtype=qt.qtype, n=n, k=k,
+                                 tn=tn8, kc=kc8, interpret=interpret)
+            return out[:m]
+
     if tn is None:
         # widest tile wins at most M — fewer grid steps amortize the
         # ~0.4-0.6us per-step overhead (in-scan sweep on 1.1B Q4_0/v5e:
@@ -356,14 +556,28 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
                 tn = cand
                 break
         else:
-            raise ValueError(f"N={n} not tileable")
+            tn = divisor_tile(2048)
+        if gemv and tn < 1024:
+            # big non-pow2 matrices tile wide via non-pow2 divisors
+            # (measured: 7B gate|up f32 tn=5504/kc=1 106.6us vs
+            # tn=512/kc=8 115.2us); small ones (1.1B fused qkv 2560)
+            # stay on the narrow-tile path (7.8us vs 8.0).
+            wide = divisor_tile(8192)
+            if wide >= 4096 and vmem_ok(wide, 1):
+                tn = wide
     if kc is None:
         # kc need not divide the chunk count (tail-masked cdiv grid) —
         # prefer the largest kc whose tail waste stays small and that fits
         # VMEM; fewer K-steps amortize the per-grid-step overhead
         import os
         strict = bool(os.environ.get("TPULAMM_KC_STRICT"))  # perf A/B
-        kc_cands = (8, 4, 2) if gemv else (4, 2)
+        if gemv:
+            # f32 gemv: deep K-steps win (tn=2048/kc=8 is the measured
+            # in-scan default) — but the wide non-pow2 tiles (tn>=4096)
+            # only fit VMEM at kc=1
+            kc_cands = (8, 4, 2) if tn < 4096 else ()
+        else:
+            kc_cands = (4, 2)
         kc = 1
         n_chunks = k // TK
         # exact divisors first: tail-masked steps dequant padded K rows for
