@@ -75,3 +75,48 @@ def test_flash_attention_exact_on_tpu():
     got = flash_attention(q, k, v, jnp.asarray(kpos), qbase, qlen, **args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("qtype", QTYPES, ids=lambda q: q.name)
+def test_int8_dot_exact_on_tpu(qtype, monkeypatch):
+    """int8-activation MXU path vs a numpy integer simulation of the same
+    math (per-group symmetric int8 quant -> integer dots -> f32 rescale +
+    exact-gsum correction). Bounds allow only f32 summation-order noise."""
+    monkeypatch.setenv("TPULAMM_INT8_DOT", "force")
+    from tpulamm.quant.repack import SPECS
+    rng = np.random.default_rng(int(qtype) + 7)
+    n, k, m = 256, 1280, 4
+    w = (rng.normal(size=(n, k)) * 0.7).astype(np.float32)
+    raw = formats.quantize(w, qtype)
+    qt = QTensor.from_gguf_raw(raw, qtype, (n, k), layout="mm")
+    x = rng.normal(size=(m, k)).astype(np.float32)
+
+    spec = SPECS[qtype]
+    ga = spec.group
+    g = k // ga
+    xg = x.reshape(m, g, ga)
+    amax = np.abs(xg).max(-1)
+    s = (amax / 127.0).astype(np.float32)
+    s = np.where(s > 0, s, np.float32(1.0))
+    qx = np.clip(np.round(xg / s[..., None]), -127, 127).astype(np.int64)
+    gsum = xg.sum(-1, dtype=np.float64)
+
+    wd = np.asarray(dequant_mm(qt, jnp.float32)).T        # (N, K)
+    sw = np.asarray(qt.planes["scales"], np.float64)      # (K/ga, N)
+    mins = (np.asarray(qt.planes["mins"], np.float64)
+            if "mins" in qt.planes else np.zeros_like(sw))
+    # UNSIGNED integer codes from the dequantized weights (the kernel dots
+    # raw codes and folds zero/min into the exact-gsum correction term)
+    off = mins - spec.zero * sw                           # (g, N)
+    qv = spec.zero + np.rint(
+        (wd.T.reshape(g, ga, n) - mins[:, None, :])
+        / np.where(sw == 0, 1, sw)[:, None, :]).astype(np.int64)
+    idot = np.einsum("mgk,gkn->gmn", qx, qv)              # (g, m, n)
+    expect = (idot * sw[:, None, :] * s.T[:, :, None]).sum(0) \
+        + gsum @ off
+
+    got = np.asarray(qmm_pallas(jnp.asarray(x), qt))[:m]
+    nmse = ((got - expect) ** 2).mean() / (expect ** 2).mean()
+    # 1e-4: the min-formats' f32 correction dot carries slightly more
+    # summation-order noise vs the f64 sim (measured 3.7-4.1e-5)
+    assert nmse < 1e-4, f"{qtype.name} int8 path NMSE vs int-sim {nmse}"

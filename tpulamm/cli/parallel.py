@@ -40,8 +40,8 @@ def main(argv=None):
     p.add_argument("-m", "--model", required=True)
     p.add_argument("-np", "--n-parallel", type=int, default=4,
                    help="simultaneous slots")
-    p.add_argument("-ns", "--n-sequences", type=int, default=8,
-                   help="total requests to serve")
+    p.add_argument("-ns", "--n-sequences", "--sequences", type=int,
+                   default=8, help="total requests to serve")
     p.add_argument("-n", "--n-predict", type=int, default=32,
                    help="max tokens per answer")
     p.add_argument("-c", "--ctx-size", type=int, default=2048)

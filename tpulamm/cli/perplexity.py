@@ -53,6 +53,44 @@ def compute_perplexity(engine, text: str, n_ctx: int = 512,
     return {"ppl": math.exp(nll / count), "nll": nll / count, "tokens": count}
 
 
+def compute_perplexity_v2(engine, text: str, n_ctx: int = 512,
+                          stride: int = 32, output_type: int = 0,
+                          progress=True) -> dict:
+    """Strided perplexity (perplexity_v2, perplexity.cpp:332-446): windows
+    start every `stride` tokens and only the final `stride` positions of
+    each n_ctx window are scored; --ppl-output-type 1 emits cumulative
+    `<tokens> <ppl>` pairs for plotting (perplexity.cpp:433-439)."""
+    tok = engine.tokenizer
+    tokens = tok.encode(text, add_bos=False)
+    bos = tok.vocab.bos_id if tok is not None else 1
+    if stride <= 0:
+        raise ValueError("--ppl-stride must be > 0")
+    calc_chunk = n_ctx
+    if len(tokens) <= calc_chunk:
+        raise ValueError(f"corpus too short: {len(tokens)} tokens <= {calc_chunk}")
+    n_chunk = (len(tokens) - calc_chunk + stride - 1) // stride
+
+    nll = 0.0
+    count = 0
+    for i in range(n_chunk):
+        start = i * stride
+        chunk = list(tokens[start:start + n_ctx])
+        chunk[0] = bos                       # perplexity.cpp:381 overwrite
+        engine.reset_slot(0)
+        logits = engine.prefill(0, chunk, logits_all=True)
+        j0 = n_ctx - stride - 1
+        lp = log_softmax(logits[j0:n_ctx - 1].astype(np.float64))
+        targets = np.asarray(chunk[j0 + 1:n_ctx], np.int64)
+        nll += -lp[np.arange(len(targets)), targets].sum()
+        count += len(targets)
+        ppl = math.exp(nll / count)
+        if output_type == 1:
+            print(f"{count} {ppl:.4f}")
+        elif progress:
+            print(f"[{i + 1}/{n_chunk}] ppl = {ppl:.4f}", file=sys.stderr)
+    return {"ppl": math.exp(nll / count), "nll": nll / count, "tokens": count}
+
+
 def _ending_logprob(engine, ctx_tokens: list[int],
                     full_tokens: list[int]) -> float:
     """Sum log p of the tokens after the context (hellaswag_score method:
@@ -197,11 +235,19 @@ def main(argv=None):
     p.add_argument("-b", "--batch-size", type=int, default=512)
     p.add_argument("--compute-dtype", default=None)
     p.add_argument("--hellaswag", help="JSONL hellaswag tasks")
+    p.add_argument("--hellaswag-tasks", type=int, default=0,
+                   help="max hellaswag tasks (common.h hellaswag_tasks)")
     p.add_argument("--winogrande", help="JSONL winogrande tasks")
     p.add_argument("--multiple-choice", help="JSONL multiple-choice tasks")
     p.add_argument("--limit", type=int, default=0, help="max tasks/chunks")
+    p.add_argument("--ppl-stride", type=int, default=0,
+                   help="strided ppl windows (perplexity_v2 mode)")
+    p.add_argument("--ppl-output-type", type=int, default=0, choices=(0, 1),
+                   help="1 = cumulative '<tokens> <ppl>' pairs")
     p.add_argument("--save-logits", help="write base logprobs for KL")
-    p.add_argument("--kl-divergence", help="compare against saved logprobs")
+    p.add_argument("--kl-divergence", "--kl-divergence-base",
+                   dest="kl_divergence",
+                   help="compare against saved logprobs")
     from tpulamm.runtime.kvcache import KV_CACHE_TYPES
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
                    choices=KV_CACHE_TYPES)
@@ -219,7 +265,8 @@ def main(argv=None):
                     kv_dtype_v=args.cache_type_v)
 
     if args.hellaswag:
-        res = run_hellaswag(engine, args.hellaswag, args.limit)
+        res = run_hellaswag(engine, args.hellaswag,
+                            args.hellaswag_tasks or args.limit)
         print(f"hellaswag: acc = {100 * res['acc']:.4f}% "
               f"({res['total']} tasks)")
     elif args.winogrande:
@@ -247,7 +294,12 @@ def main(argv=None):
         assert args.file, "need -f corpus (or a task mode)"
         with open(args.file, errors="replace") as f:
             text = f.read()
-        res = compute_perplexity(engine, text, n_ctx=args.ctx_size)
+        if args.ppl_stride > 0:
+            res = compute_perplexity_v2(engine, text, n_ctx=args.ctx_size,
+                                        stride=args.ppl_stride,
+                                        output_type=args.ppl_output_type)
+        else:
+            res = compute_perplexity(engine, text, n_ctx=args.ctx_size)
         print(f"Final estimate: PPL = {res['ppl']:.4f}")
     print(engine.timings.report(), file=sys.stderr)
     return 0

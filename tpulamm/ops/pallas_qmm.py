@@ -506,10 +506,16 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         return 128
 
     import os
-    if gemv and os.environ.get("TPULAMM_INT8_DOT"):
+    i8mode = os.environ.get("TPULAMM_INT8_DOT", "1")
+    if gemv and i8mode != "0":
         # int8 activations + int8xint8 MXU dots with per-group rescale —
         # the reference's vec_dot_type architecture (ggml.c:458-778).
-        # Opt-in while under in-scan A/B; see PERF.md.
+        # DEFAULT for decode: tg256 7B Q4_0 107.9 -> 128.7 t/s (+19%),
+        # 1.1B 604.9 -> 683.4 (+13%); quality cost is the reference's own
+        # activation-quant class — measured decode-path KL(f32||int8)
+        # 0.0058 mean / top-1 95.3% on a trained 30M Q4_0, ~8x below the
+        # Q4_0 weight error itself (PERF.md). TPULAMM_INT8_DOT=0 restores
+        # the exact-dequant f32 path.
         # Tile rules from the on-chip sweep: take the widest <=8192
         # divisor tile (non-pow2 allowed: 7B gate|up tn=5504 542 GB/s),
         # K-step sized to tk*tn ~ 1M elements (attno tn=2048/kc=2,
@@ -518,7 +524,7 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         # vs f32 6.7us) — fall through.
         tn8 = tn if tn is not None else divisor_tile(8192)
         # "force" drops the width gate (tests exercise small-N shapes)
-        min_tn = 128 if os.environ["TPULAMM_INT8_DOT"] == "force" else 1024
+        min_tn = 128 if i8mode == "force" else 1024
         if tn8 >= min_tn:
             kc8 = kc
             if kc8 is None:
