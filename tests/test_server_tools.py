@@ -101,6 +101,20 @@ def test_perplexity(model_path):
     assert np.isfinite(res["ppl"]) and res["ppl"] > 1.0
 
 
+def test_perplexity_strided(model_path):
+    """--ppl-stride mode (perplexity_v2, perplexity.cpp:332-446): strided
+    windows scoring the final `stride` positions each."""
+    from tpulamm.cli.perplexity import compute_perplexity_v2
+
+    eng = Engine(model_path, n_ctx=33)
+    text = "the cat sat on the mat " * 40
+    res = compute_perplexity_v2(eng, text, n_ctx=32, stride=8,
+                                progress=False)
+    assert np.isfinite(res["ppl"]) and res["ppl"] > 1.0
+    # scored tokens = stride per window
+    assert res["tokens"] % 8 == 0
+
+
 # ---------------------------------------------------------------------------
 # HTTP server with continuous batching
 # ---------------------------------------------------------------------------
