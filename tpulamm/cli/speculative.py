@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     p.add_argument("--draft", type=int, default=5,
                    help="number of tokens to draft per step")
+    p.add_argument("-np", "--n-seq-dft", type=int, default=1,
+                   help=">1 enables draft-TREE speculation with this many "
+                        "branches (speculative.cpp n_seq_dft)")
+    p.add_argument("--p-split", type=float, default=0.1,
+                   help="draft branch split probability threshold "
+                        "(speculative.cpp p_split)")
     p.add_argument("--ngram-min", type=int, default=1)
     p.add_argument("--ngram-max", type=int, default=4)
     p.add_argument("--temp", type=float, default=0.0)
@@ -71,6 +77,16 @@ def main(argv=None):
             n_draft=args.draft, ngram_min=args.ngram_min,
             ngram_max=args.ngram_max, temp=args.temp,
             seed=max(args.seed, 0), stop_on_eos=not args.ignore_eos)
+        sys.stdout.write(text)
+    elif args.model_draft and args.n_seq_dft > 1:
+        # draft-TREE speculation (always on device)
+        from tpulamm.runtime.spec_tree import generate_speculative_tree
+        draft = Engine(args.model_draft, n_ctx=args.ctx_size)
+        _, text, stats = generate_speculative_tree(
+            target, draft, args.prompt, n_predict=args.n_predict,
+            n_draft=args.draft, n_seq_dft=args.n_seq_dft,
+            p_split=args.p_split, temp=args.temp, seed=max(args.seed, 0),
+            stop_on_eos=not args.ignore_eos)
         sys.stdout.write(text)
     elif args.model_draft and args.ondevice:
         from tpulamm.runtime.speculative import generate_speculative_fast
