@@ -109,12 +109,16 @@ def main(argv=None):
                    help="tensor-parallel shards over the device mesh")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel (slot-sharding) mesh dimension")
+    from tpulamm.parallel.distributed import add_distributed_args
+    add_distributed_args(p)
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture an XLA device trace into DIR "
                         "(TensorBoard/Perfetto; the GGML_PERF analogue)")
     args = p.parse_args(argv)
     from tpulamm.cli._common import require_file
     require_file(p, args.model)
+    from tpulamm.parallel.distributed import init_from_args
+    init_from_args(args)           # before the first jax backend use
 
     if args.profile:
         import jax

@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel shards over the device mesh")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel (slot-sharding) mesh dimension")
+    from tpulamm.parallel.distributed import add_distributed_args
+    add_distributed_args(p)
     p.add_argument("--override-kv", action="append", default=[],
                    metavar="KEY=TYPE:VALUE",
                    help="override a GGUF metadata value "
@@ -137,6 +139,8 @@ def main(argv=None):
     logm.setup(args, "main")
     logm.log(f"args: {vars(args)}")
 
+    from tpulamm.parallel.distributed import init_from_args
+    init_from_args(args)           # before the first jax backend use
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.sampling import SamplingParams
 

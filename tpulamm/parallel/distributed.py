@@ -43,3 +43,47 @@ def init_distributed(coordinator: str | None = None,
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def add_distributed_args(p) -> None:
+    """Multi-host flags shared by main/bench/server (the reference's
+    mpirun -n N slot, ggml-mpi.c / SURVEY §5.8)."""
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host coordinator address "
+                        "(jax.distributed); omit on single host")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total number of host processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's process index")
+
+
+def init_from_args(args) -> dict | None:
+    """Initialize the multi-host runtime when any --coordinator/--num-
+    processes/--process-id flag was given (None = single host, no-op).
+
+    MUST run before the first jax backend use — on TPU pods with
+    auto-discovery, pass --coordinator '' to trigger env-driven init.
+
+    Multi-controller contract (why the Engine works unchanged): every
+    process runs the same host program over the same inputs, so the
+    Engine's host-side numpy mirrors (cell_pos, n_past, request feeding)
+    stay bit-identical across processes by determinism; device arrays are
+    globally sharded by the ('dp','tp') mesh over jax.devices() (global
+    under jax.distributed), and host pulls (logits, decode rows) are
+    replicated outputs, which every process can device_get locally.
+    Serving entry points must therefore feed every process the same
+    request stream (one frontend process broadcasting, or a shared
+    queue) — the server keeps HTTP on process 0 and asserts
+    process_count == 1 until a broadcast transport is wired."""
+    coord = getattr(args, "coordinator", None)
+    nproc = getattr(args, "num_processes", None)
+    ppid = getattr(args, "process_id", None)
+    if coord is None and nproc is None and ppid is None:
+        return None
+    info = init_distributed(coordinator=coord or None,
+                            num_processes=nproc, process_id=ppid)
+    import sys
+    print(f"distributed: process {info['process_index']}/"
+          f"{info['process_count']}, {info['local_devices']} local / "
+          f"{info['global_devices']} global devices", file=sys.stderr)
+    return info

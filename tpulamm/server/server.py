@@ -937,6 +937,8 @@ def main(argv=None):
                    help="tensor-parallel shards over the device mesh")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel (slot-sharding) mesh dimension")
+    from tpulamm.parallel.distributed import add_distributed_args
+    add_distributed_args(p)
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
                    choices=KV_CACHE_TYPES)
     p.add_argument("-ctv", "--cache-type-v", default=None,
@@ -949,6 +951,17 @@ def main(argv=None):
     args = p.parse_args(argv)
     logm.setup(args, "server")
     logm.log(f"args: {vars(args)}")
+    from tpulamm.parallel.distributed import init_from_args
+    info = init_from_args(args)    # before the first jax backend use
+    if info is not None and info["process_count"] > 1:
+        # HTTP request intake is process-local; a multi-controller server
+        # needs every process to step the same batches, i.e. a broadcast
+        # transport between the frontend and the SPMD workers (SURVEY
+        # §7.2.5 stretch). Engines + benches support multi-host today.
+        raise SystemExit(
+            "tpulamm-server does not yet broadcast requests across "
+            "processes; run the server single-host (multi-host engines "
+            "are supported via cli.main / cli.bench)")
     serve(args.model, args.host, args.port, n_slots=args.parallel,
           n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
           tp=args.tp, dp=args.dp,
