@@ -5,6 +5,7 @@ plus the quantize/perplexity tool paths, all on a tiny converted model.
 """
 
 import json
+import re
 import threading
 import urllib.request
 
@@ -331,3 +332,61 @@ def test_server_sampled_fast_path(server):
     r_slow = _post(server + "/completion",
                    dict(body, stop=["\x00never\x00"]))
     assert r_slow["content"] == r_fast["content"]
+
+
+def test_server_system_prompt(server):
+    """Shared system prompt (server.cpp:118,639-672): one prefill +
+    seq_cp fan-out; every request reuses the prefix without cache_prompt,
+    and output equals manually prepending the same text."""
+    import time as _time
+
+    # reference output: prepend manually, no system prompt set
+    ref = _post(server + "/completion",
+                {"prompt": "the mat was the cat", "n_predict": 4,
+                 "temperature": 0.0})
+
+    _post(server + "/system_prompt", {"prompt": "the mat was "})
+    deadline = _time.time() + 60
+    while _time.time() < deadline:     # applied when all slots idle
+        with urllib.request.urlopen(server + "/props", timeout=60) as r:
+            props = json.loads(r.read())
+        if props["system_prompt"] == "the mat was ":
+            break
+        _time.sleep(0.05)
+    assert props["system_prompt"] == "the mat was "
+
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        cached0 = int(float(re.search(
+            r"(?m)^llamacpp:prompt_cached_tokens_total (\S+)", r.read().decode())
+            .group(1)))
+
+    def go(results, i):
+        results[i] = _post(server + "/completion",
+                           {"prompt": "the cat", "n_predict": 4,
+                            "temperature": 0.0})
+
+    results = {}
+    threads = [threading.Thread(target=go, args=(results, i))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    # both slots decode after ONE system prefill; the system prefix was
+    # served from KV (cached counter grows by its token count per request)
+    assert results[0]["content"] == results[1]["content"]
+    assert results[0]["content"] == ref["content"]
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        cached1 = int(float(re.search(
+            r"(?m)^llamacpp:prompt_cached_tokens_total (\S+)", r.read().decode())
+            .group(1)))
+    assert cached1 > cached0
+
+    # runtime update back to empty restores plain behavior for later tests
+    _post(server + "/system_prompt", {"prompt": ""})
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        with urllib.request.urlopen(server + "/props", timeout=60) as r:
+            if json.loads(r.read())["system_prompt"] == "":
+                break
+        _time.sleep(0.05)

@@ -135,6 +135,34 @@ class Scheduler(threading.Thread):
         self.running = True
         self._block_counter = 0   # distinct RNG stream per fast block
         self.requests: dict[str, Request] = {}   # rid -> live request
+        # shared system prompt (server.cpp:118,639-672,1028-1087): one
+        # prefill, seq_cp fan-out to every slot; requests then reuse the
+        # prefix for free. _pending applies when all slots go idle.
+        self.system_tokens: list[int] = []
+        self.system_prompt: str = ""
+        self._pending_system: str | None = None
+
+    def set_system_prompt(self, text: str):
+        """Queue a system-prompt (re)set; applied by the run loop when
+        every slot is idle (system_prompt_update, server.cpp:1028)."""
+        self._pending_system = text
+
+    def _apply_system(self):
+        text, self._pending_system = self._pending_system, None
+        eng = self.engine
+        toks = (eng.tokenizer.encode(text, special=True)
+                if text and eng.tokenizer else [])
+        for i in range(self.n_slots):
+            eng.reset_slot(i)
+            self.slots[i].hist = []
+        if toks:
+            eng.prefill(0, toks)
+            for i in range(1, self.n_slots):
+                eng.seq_cp(0, i)
+            for i in range(self.n_slots):
+                self.slots[i].hist = list(toks)
+        self.system_prompt = text or ""
+        self.system_tokens = toks
 
     def submit(self, req: Request):
         with self.metrics.lock:
@@ -236,18 +264,26 @@ class Scheduler(threading.Thread):
         keep = eng.n_ctx - max(req.n_predict, 0) - 1
         if keep <= 0:
             keep = eng.n_ctx - 2
-        if len(tokens) > keep:
-            tokens = tokens[-keep:]
+        # the shared system prefix survives trimming (the reference keeps
+        # system_tokens and shifts only the per-slot part, server.cpp:1678)
+        keep_user = max(keep - len(self.system_tokens), 8)
+        if len(tokens) > keep_user:
+            tokens = tokens[-keep_user:]
+        tokens = self.system_tokens + tokens
         # cache_prompt (server.cpp:1880): reuse the KV prefix this slot
         # already holds when it matches the new prompt. Only valid while
         # the engine state still mirrors slot.hist exactly (no context
-        # shift happened: cells contiguous, n_past == len(hist)).
+        # shift happened: cells contiguous, n_past == len(hist)). The
+        # shared system prefix is reused even without cache_prompt.
         common = 0
-        if req.cache_prompt and slot.hist and not eng.recurrent:
+        if ((req.cache_prompt or self.system_tokens) and slot.hist
+                and not eng.recurrent):
             n_hist = len(slot.hist)
             if (int(eng.n_past[i]) == n_hist and np.array_equal(
                     eng.cell_pos[i, :n_hist], np.arange(n_hist))):
                 limit = min(n_hist, len(tokens) - 1)  # eval >=1 for logits
+                if not req.cache_prompt:
+                    limit = min(limit, len(self.system_tokens))
                 while common < limit and slot.hist[common] == tokens[common]:
                     common += 1
         if common > 0:
@@ -519,6 +555,14 @@ class Scheduler(threading.Thread):
     def run(self):
         while self.running:
             self._sweep_cancelled()
+            if self._pending_system is not None:
+                # apply when every slot is idle; hold new assignments so
+                # a busy server cannot starve the update
+                if all(s.req is None for s in self.slots):
+                    self._apply_system()
+                else:
+                    time.sleep(0.002)
+                    continue
             self._assign()
             active = {i: s.next_tok for i, s in enumerate(self.slots)
                       if s.req is not None and s.next_tok is not None}
@@ -641,7 +685,8 @@ def make_handler(sched: Scheduler, model_name: str):
                 self._json(200, out)
             elif self.path == "/props":
                 self._json(200, {"total_slots": sched.n_slots,
-                                 "model": model_name})
+                                 "model": model_name,
+                                 "system_prompt": sched.system_prompt})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -885,6 +930,15 @@ def make_handler(sched: Scheduler, model_name: str):
                 self._run_request(toks, body, "native",
                                   eot_id=int(eot) if eot is not None
                                   else None)
+            elif self.path == "/system_prompt":
+                # runtime shared-system-prompt update (the reference's
+                # system_prompt task, server.cpp:1483-1487); applied when
+                # every slot goes idle
+                sp = body.get("system_prompt", body)
+                text = sp.get("prompt", "") if isinstance(sp, dict) \
+                    else str(sp)
+                sched.set_system_prompt(text)
+                self._json(200, {"status": "queued"})
             elif self.path == "/cancel":
                 ok = sched.cancel(str(body.get("rid", "")))
                 self._json(200 if ok else 404, {"cancelled": ok})
@@ -905,13 +959,15 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           n_slots: int = 4, n_ctx: int = 2048, compute_dtype=None,
           started: threading.Event | None = None, tp: int = 1, dp: int = 1,
           cache_type_k="bfloat16", cache_type_v=None,
-          lookup_decoding: bool = False):
+          lookup_decoding: bool = False, system_prompt: str | None = None):
     from tpulamm.runtime.engine import Engine
     engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
                     compute_dtype=compute_dtype, tp=tp, dp=dp,
                     kv_dtype=cache_type_k, kv_dtype_v=cache_type_v)
     sched = Scheduler(engine, n_slots, lookup_decoding=lookup_decoding)
     sched.engine = engine
+    if system_prompt:
+        sched.set_system_prompt(system_prompt)
     sched.start()
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(sched, model_path))
@@ -946,6 +1002,9 @@ def main(argv=None):
     p.add_argument("--lookup-decoding", action="store_true",
                    help="single-active-slot prompt-lookup speculation "
                         "(greedy-exact; wins on weight-bound models)")
+    p.add_argument("-spf", "--system-prompt-file", default=None,
+                   help="file with a system prompt shared by every slot "
+                        "(one prefill + seq_cp fan-out; server.cpp -spf)")
     from tpulamm.utils import log as logm
     logm.add_args(p)
     args = p.parse_args(argv)
@@ -962,11 +1021,16 @@ def main(argv=None):
             "tpulamm-server does not yet broadcast requests across "
             "processes; run the server single-host (multi-host engines "
             "are supported via cli.main / cli.bench)")
+    system_prompt = None
+    if args.system_prompt_file:
+        with open(args.system_prompt_file, errors="replace") as f:
+            system_prompt = f.read()
     serve(args.model, args.host, args.port, n_slots=args.parallel,
           n_ctx=args.ctx_size, compute_dtype=args.compute_dtype,
           tp=args.tp, dp=args.dp,
           cache_type_k=args.cache_type_k, cache_type_v=args.cache_type_v,
-          lookup_decoding=args.lookup_decoding)
+          lookup_decoding=args.lookup_decoding,
+          system_prompt=system_prompt)
 
 
 if __name__ == "__main__":
