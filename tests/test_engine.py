@@ -276,3 +276,31 @@ def test_kv_span_covers_cells_after_position_surgery(model_path):
     assert int(eng.cell_pos[0].max()) <= 75   # positions shrank...
     span = eng._kv_span(1)
     assert span is None or span >= 512        # ...but the span did not
+
+
+def test_b_rows_compaction_parity(model_path, monkeypatch):
+    """Active-slot compaction (_b_rows): a batched step over the
+    power-of-two row prefix covering the active slots produces results
+    identical to the full-width batch (idle high slots' KV untouched)."""
+    import numpy as np
+    from tpulamm.runtime.engine import Engine
+
+    def drive(eng):
+        eng.prefill(0, [1, 9, 33])
+        eng.prefill(1, [4, 7])
+        eng.prefill(5, [2, 8, 14])          # occupied slot OUTSIDE the
+        out = eng.decode_batch_fast({0: 11, 1: 25}, 6)   # active bucket
+        lg = eng.decode_batch({0: out[0][-1], 1: out[1][-1]})
+        # slot 5 decodes fine afterwards (its KV was never clobbered)
+        lg5 = eng.decode_batch({5: 3})
+        return out, {s: int(np.argmax(v)) for s, v in lg.items()}, \
+            int(np.argmax(lg5[5]))
+
+    eng = Engine(model_path, n_ctx=64, n_slots=8)
+    assert eng._b_rows({0: 1, 1: 1}) == 2
+    assert eng._b_rows({0: 1, 5: 1}) == None or eng._b_rows({0: 1, 5: 1}) == 8
+    got = drive(eng)
+
+    monkeypatch.setenv("TPULAMM_NO_B_ROWS", "1")
+    ref = drive(Engine(model_path, n_ctx=64, n_slots=8))
+    assert got == ref

@@ -424,3 +424,72 @@ def test_server_lookup_decoding(tmp_path_factory):
     finally:
         lu.sched.running = False
         lu.httpd.shutdown()
+
+
+def test_server_lookup_decoding_multislot(tmp_path_factory):
+    """Multi-slot speculative serving: 2+ concurrent greedy requests run
+    the batched (B, 1+k) compound-verify lookup loop; outputs stay
+    byte-identical to a plain server per request."""
+    torch.manual_seed(9)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv_lum") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+
+    from tpulamm.server.server import serve
+
+    def boot(lookup):
+        started = threading.Event()
+        th = threading.Thread(
+            target=serve, args=(path,),
+            kwargs=dict(port=0, n_slots=4, n_ctx=128, started=started,
+                        lookup_decoding=lookup), daemon=True)
+        th.start()
+        assert started.wait(timeout=300)
+        return started
+
+    bodies = [{"prompt": "the cat sat on the mat, the cat sat on",
+               "n_predict": 20, "temperature": 0.0, "repeat_penalty": 1.0},
+              {"prompt": "a dog ran to a dog ran to",
+               "n_predict": 14, "temperature": 0.0, "repeat_penalty": 1.0}]
+
+    def fetch(base, results):
+        def go(n):
+            _, bb = _post(base, "/completion", bodies[n])
+            results[n] = json.loads(bb)
+        ts = [threading.Thread(target=go, args=(n,))
+              for n in range(len(bodies))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+
+    plain_srv = boot(False)
+    try:
+        ref = {}
+        fetch(f"http://127.0.0.1:{plain_srv.httpd.server_port}", ref)
+    finally:
+        plain_srv.sched.running = False
+        plain_srv.httpd.shutdown()
+
+    lu = boot(True)
+    try:
+        base = f"http://127.0.0.1:{lu.httpd.server_port}"
+        # warm both slots so the pair lands concurrently
+        _post(base, "/completion", dict(bodies[0], n_predict=4))
+        got = {}
+        fetch(base, got)
+        for n in range(len(bodies)):
+            assert got[n]["content"] == ref[n]["content"], n
+            assert got[n]["tokens_predicted"] == \
+                ref[n]["tokens_predicted"], n
+        assert lu.sched.metrics.spec_blocks > 0
+    finally:
+        lu.sched.running = False
+        lu.httpd.shutdown()

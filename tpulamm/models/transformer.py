@@ -161,11 +161,20 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
 
     cache = write_kv(cache, layer_idx, k, v, slots, cells, positions, segs)
 
+    def crow(arr):
+        """slots=None batch contract: the batch covers the FIRST B cache
+        rows in order. B < n_slots is active-slot compaction (the engine
+        runs the scan at a power-of-two bucket covering the live slots):
+        a STATIC prefix slice — fusible, so attention streams only B
+        rows' KV instead of every allocated slot's (the serving
+        B-dimension tax; write_kv writes rows arange(B) to match)."""
+        return arr if arr.shape[0] == B else arr[:B]
+
     if slots is None:
-        # batch covers all slots in order: indexing is the identity — skip
-        # the gather, which would copy every layer's full KV buffer each
-        # step (measured ~8us/layer/step on v5e)
-        kc, vc = cache.k[layer_idx], cache.v[layer_idx]   # (B, Hkv, S, D)
+        # batch covers the first B slots in order: identity / static
+        # prefix slice — never a gather, which would copy every layer's
+        # full KV buffer each step (measured ~8us/layer/step on v5e)
+        kc, vc = crow(cache.k[layer_idx]), crow(cache.v[layer_idx])
     else:
         kc = cache.k[layer_idx][slots]                 # (B, Hkv, S, D)
         vc = cache.v[layer_idx][slots]
@@ -210,7 +219,7 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
                       else auto))
     if use_flash:
         from tpulamm.ops.flash_attention import flash_attention
-        kpos = cache.pos if slots is None else cache.pos[slots]
+        kpos = crow(cache.pos) if slots is None else cache.pos[slots]
         kpos = kpos[:, :S_cache]
         qf = qg.transpose(0, 2, 1, 3, 4).reshape(
             B, cfg.n_kv_heads, T * group, hd)
@@ -245,12 +254,13 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
                         kc.astype(qk_dt),
                         preferred_element_type=jnp.float32)
     if cache.ks is not None:
-        ksc = (cache.ks[layer_idx] if slots is None
+        ksc = (crow(cache.ks[layer_idx]) if slots is None
                else cache.ks[layer_idx][slots])[:, :, :S_cache]  # (B,Hkv,S)
         scores = scores * ksc[:, :, None, None, :]
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(hd)))
 
-    kpos = (cache.pos if slots is None else cache.pos[slots])[:, :S_cache]
+    kpos = (crow(cache.pos) if slots is None
+            else cache.pos[slots])[:, :S_cache]
     if cfg.max_alibi_bias > 0.0:
         # ggml_soft_max_ext ALiBi: scores += slope[h] * key_pos. Slopes
         # depend on the GLOBAL head index: under tp, slice this shard's
@@ -273,7 +283,7 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
         # segment visibility (multi-seq_id batch masks, lookahead decoding):
         # key seg 0 = main sequence, visible to all; otherwise the query's
         # segment id must fall in the key's packed [lo, hi] range
-        kseg = (cache.seg if slots is None
+        kseg = (crow(cache.seg) if slots is None
                 else cache.seg[slots])[:, :S_cache]       # (B, S)
         klo = kseg & 0xFFFF
         khi = kseg >> 16
@@ -290,7 +300,7 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
         # q8_0 V: scale is per key row and s is the contracted axis, so it
         # folds into probs (tiny (B,H,G,T,S) tensor) instead of dequantizing
         # the full cache: (probs * vs) . v_i8 == probs . v_dequant
-        vsc = (cache.vs[layer_idx] if slots is None
+        vsc = (crow(cache.vs[layer_idx]) if slots is None
                else cache.vs[layer_idx][slots])[:, :, :S_cache]  # (B,Hkv,S)
         probs = probs * vsc[:, :, None, None, :]
         pv_dt = jnp.float32

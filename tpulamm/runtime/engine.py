@@ -427,6 +427,24 @@ class Engine:
         span = 1 << (s - 1).bit_length()
         return None if span >= self.n_ctx else int(span)
 
+    def _b_rows(self, ids) -> int | None:
+        """Active-slot compaction bucket (the B-dimension analogue of
+        _kv_span): run the batched step over only the first
+        power-of-two-many rows that cover every active slot id, so idle
+        slots' KV is not streamed every step (the serving B-tax:
+        8 requests on a 32-slot engine measured -44%, PERF.md). None =
+        full batch. The slots=None forward contract reads/writes the
+        FIRST B cache rows, so this needs no renumbering as long as the
+        server assigns lowest-free slots. Disable: TPULAMM_NO_B_ROWS=1."""
+        import os
+        if (self.mesh is not None or self.recurrent
+                or self.mega is not None
+                or os.environ.get("TPULAMM_NO_B_ROWS")):
+            return None
+        hi = max(ids) + 1
+        b = 1 << (hi - 1).bit_length() if hi > 1 else 1
+        return None if b >= self.n_slots else b
+
     def _step_exec(self, kv_span: int | None):
         """Single-ubatch step executable for one attention span."""
         fn = self._step_cache.get(kv_span)
@@ -549,7 +567,7 @@ class Engine:
         the server's running requests share a single (n_slots, 1) step —
         slot model from server.cpp:131,1617). Idle slots run masked."""
         t0 = time.perf_counter()
-        b = self.n_slots
+        b = self._b_rows(toks) or self.n_slots
         tok = np.zeros((b, 1), np.int32)
         pos = np.full((b, 1), -1, np.int32)
         cel = np.full((b, 1), self.n_ctx, np.int32)
@@ -567,6 +585,8 @@ class Engine:
         self.timings.t_eval += time.perf_counter() - t0
         self.timings.n_eval += len(toks)
         return {slot: out[slot] for slot in toks}
+
+    # (decode_batch ran at b rows: all active slot ids < b by _b_rows)
 
     def embed(self, tokens_or_text, pooling: str | None = None,
               slot: int = 0) -> np.ndarray:
@@ -1105,7 +1125,7 @@ class Engine:
             if n + n_steps + 1 > self.n_ctx:
                 raise ValueError("decode_batch_sampled would overflow n_ctx")
         t0 = time.perf_counter()
-        B = self.n_slots
+        B = self._b_rows(toks) or self.n_slots
         tok = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         act = np.zeros(B, bool)
@@ -1197,7 +1217,7 @@ class Engine:
             if n + n_steps + 1 > self.n_ctx:
                 raise ValueError("decode_batch_fast would overflow n_ctx")
         t0 = time.perf_counter()
-        B = self.n_slots
+        B = self._b_rows(toks) or self.n_slots
         tok = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         act = np.zeros(B, bool)

@@ -600,3 +600,109 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
     engine.timings.n_eval += len(out)
     text = engine.tokenizer.decode(out) if engine.tokenizer else ""
     return out, text, stats
+
+
+def _build_lookup_scan_multi(target: Engine, n_rows: int, n_draft: int,
+                             max_steps: int, ngram_min: int, ngram_max: int,
+                             span_t: int | None = None):
+    """Multi-slot prompt-lookup speculation: every ACTIVE slot drafts from
+    its own history and ONE (n_rows, 1+k) compound forward verifies all of
+    them per step — the serving extension of _build_lookup_scan (greedy
+    only). Slots freeze independently (eos / budget / context) while the
+    loop keeps verifying the rest. n_rows may be the engine's active-slot
+    compaction bucket (Engine._b_rows) rather than n_slots."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg_t = target.cfg_step
+    fwd_t = target._model_forward
+    k = n_draft
+    Vt = cfg_t.vocab_size
+    n_ctx = target.n_ctx
+    B = n_rows
+    H = n_ctx + n_draft + 2
+
+    def propose(h, tok, pos):
+        """(H,) history -> (k,) draft; same semantics as the single-slot
+        scan's propose (latest earlier occurrence of the longest tail
+        n-gram). vmapped over slots below."""
+        h = jax.lax.dynamic_update_slice(h, tok[None], (pos,))
+        idx = jnp.arange(H, dtype=jnp.int32)
+        cand = jnp.zeros((k,), jnp.int32)
+        found = jnp.bool_(False)
+        for g in range(ngram_max, ngram_min - 1, -1):
+            tail = jax.lax.dynamic_slice(h, (pos - g + 1,), (g,))
+            eq = jnp.ones((H,), bool)
+            for j in range(g):
+                eq &= jnp.roll(h, -j) == tail[j]
+            valid = eq & (idx <= pos - g) & (pos + 1 >= g)
+            best = jnp.max(jnp.where(valid, idx, -1))
+            cont = jax.lax.dynamic_slice(
+                h, (jnp.maximum(best, 0) + g,), (k,))
+            hit = best >= 0
+            cand = jnp.where(~found & hit, cont, cand)
+            found = found | hit
+        return h, cand
+
+    def run(params_t, cache_t, h, tok, pos, active0, eos_id, budgets):
+        """h: (B, H); tok/pos: (B,); active0: (B,) bool; budgets: (B,)
+        remaining n_predict per slot."""
+        rows0 = jnp.full((max_steps, B, k + 1), -1, jnp.int32)
+        accs0 = jnp.zeros((max_steps, B), jnp.int32)
+
+        def cond(st):
+            (_, _, _, _, act, _, _, _, i) = st
+            return act.any() & (i < max_steps)
+
+        def body(st):
+            (cache_t, h, tok, pos, act, emitted, rows, accs, i) = st
+            h2, drafts = jax.vmap(propose)(h, tok, pos)   # (B,H), (B,k)
+            h = jnp.where(act[:, None], h2, h)
+
+            idxk = jnp.arange(k + 1, dtype=jnp.int32)
+            toks = jnp.concatenate([tok[:, None], drafts], axis=1)
+            poss = pos[:, None] + idxk[None, :]
+            post = jnp.where(act[:, None], poss, -1)
+            cellt = jnp.where(act[:, None], poss, n_ctx)
+            tokt = jnp.where(act[:, None], toks, 0)
+            logits, cache_t = fwd_t(params_t, cfg_t, tokt, post, cache_t,
+                                    None, cellt, kv_span=span_t)
+            lg = logits[:, :, :Vt]                       # (B, k+1, V)
+            tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+            match = tgt[:, :k] == drafts                 # (B, k)
+            n_acc = jnp.where(match.all(axis=1), k,
+                              jnp.argmax(~match, axis=1)).astype(jnp.int32)
+            # never emit past the per-slot budget
+            n_acc = jnp.minimum(n_acc, jnp.maximum(budgets - emitted - 1, 0))
+            nxt = jnp.take_along_axis(tgt, n_acc[:, None], axis=1)[:, 0]
+            row = jnp.where(idxk[None, :] < n_acc[:, None],
+                            jnp.concatenate([drafts, drafts[:, :1]], axis=1),
+                            jnp.where(idxk[None, :] == n_acc[:, None],
+                                      nxt[:, None], -1))
+            row = jnp.where(act[:, None], row, -1)
+            hit_eos = ((idxk[None, :] <= n_acc[:, None]) &
+                       (row == eos_id[:, None])).any(axis=1)
+            # emitted history: contiguous per-slot write (same stale-slot
+            # argument as the single-slot scan)
+            h = jax.vmap(lambda hh, rr, pp: jax.lax.dynamic_update_slice(
+                hh, rr, (pp + 1,)))(h, row, pos)
+            n_emit = jnp.where(act, n_acc + 1, 0)
+            rows = jax.lax.dynamic_update_slice(
+                rows, row[None], (i, 0, 0))
+            accs = jax.lax.dynamic_update_slice(
+                accs, jnp.where(act, n_acc, 0)[None], (i, 0))
+            tok = jnp.where(act, nxt, tok)
+            pos = pos + n_emit
+            emitted = emitted + n_emit
+            act = (act & ~hit_eos & (emitted < budgets)
+                   & (pos + k + 1 <= n_ctx))
+            return (cache_t, h, tok, pos, act, emitted, rows, accs, i + 1)
+
+        st = (cache_t, h, tok, pos, active0, jnp.zeros((B,), jnp.int32),
+              rows0, accs0, jnp.int32(0))
+        (cache_t, h, tok, pos, act, emitted, rows, accs,
+         n_steps) = jax.lax.while_loop(cond, body, st)
+        return rows, accs, n_steps, pos, emitted, cache_t
+
+    return jax.jit(run, donate_argnums=(1,))

@@ -552,6 +552,82 @@ class Scheduler(threading.Thread):
         self._emit_generated(i, block)
         return True
 
+    def _run_lookup_block_multi(self, active: dict[int, int]) -> bool:
+        """Multi-slot speculative serving: every active slot drafts by
+        prompt lookup and one (B, 1+k) compound step verifies all of them
+        (the batched-verify extension of _run_lookup_block). Greedy-exact
+        per slot; False -> caller falls back to plain blocks."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpulamm.runtime.speculative import _build_lookup_scan_multi
+        eng = self.engine
+        if eng.recurrent or eng.mesh is not None:
+            return False
+        k = self.LOOKUP_DRAFT
+        for i in active:
+            n = int(eng.n_past[i])
+            slot = self.slots[i]
+            if (len(slot.hist) != n or n + k + 1 > eng.n_ctx
+                    or not np.array_equal(eng.cell_pos[i, :n],
+                                          np.arange(n))):
+                return False
+        B = eng._b_rows(active) or eng.n_slots
+        scans = getattr(eng, "_spec_scans", None)
+        if scans is None:
+            scans = eng._spec_scans = {}
+        span = eng._kv_span(self.LOOKUP_STEPS * (k + 1) + 2 * k + 2)
+        key = ("srv-lookup-multi", B, k, self.LOOKUP_STEPS, span)
+        if key not in scans:
+            scans[key] = _build_lookup_scan_multi(
+                eng, B, k, self.LOOKUP_STEPS, 1, 4, span_t=span)
+        H = eng.n_ctx + k + 2
+        h = np.full((B, H), -1, np.int32)
+        tok = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        act = np.zeros(B, bool)
+        eosv = np.full(B, -1, np.int32)
+        budgets = np.zeros(B, np.int32)
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        for i, carry in active.items():
+            slot = self.slots[i]
+            n = int(eng.n_past[i])
+            h[i, :n] = slot.hist
+            tok[i] = carry
+            pos[i] = n
+            act[i] = True
+            eosv[i] = eos if not slot.req.params.ignore_eos else -1
+            budgets[i] = max(slot.req.n_predict - slot.n_gen, 1)
+        rows, accs, n_steps, posv, emitted, eng.cache = scans[key](
+            eng.params, eng.cache, jnp.asarray(h), jnp.asarray(tok),
+            jnp.asarray(pos), jnp.asarray(act), jnp.asarray(eosv),
+            jnp.asarray(budgets))
+        rows, accs, n_steps, posv, emitted = jax.device_get(
+            (rows, accs, n_steps, posv, emitted))  # one round-trip
+        n_steps = int(n_steps)
+        if n_steps == 0:
+            return False
+        tot_acc = 0
+        for i, carry in active.items():
+            slot = self.slots[i]
+            n = int(eng.n_past[i])
+            newpos = int(posv[i])
+            if newpos == n:         # slot never advanced (budget edge)
+                continue
+            eng.n_past[i] = newpos
+            eng.cell_pos[i, n:newpos] = np.arange(n, newpos)
+            block = [int(t) for r in rows[:n_steps, i] for t in r
+                     if t >= 0]
+            slot.hist.append(carry)
+            slot.hist.extend(block[:-1])   # block[-1] is the new carry
+            tot_acc += int(accs[:n_steps, i].sum())
+            self._emit_generated(i, block)
+        with self.metrics.lock:
+            self.metrics.spec_blocks += 1
+            self.metrics.spec_drafted += k * n_steps * len(active)
+            self.metrics.spec_accepted += tot_acc
+        return True
+
     def run(self):
         while self.running:
             self._sweep_cancelled()
@@ -572,17 +648,23 @@ class Scheduler(threading.Thread):
             if not active:
                 time.sleep(0.002)
                 continue
-            # single active slot + greedy: opt-in prompt-lookup
-            # speculation (tokens-per-dispatch multiplies by acceptance)
-            if (self.lookup_decoding and len(active) == 1
-                    and self.pending.empty()):
-                i = next(iter(active))
-                s = self.slots[i]
-                if (s.sampler.grammar is None and not s.req.stop_strs
-                        and s.req.params.n_probs == 0
-                        and s.req.params.temp <= 0.0
-                        and self._fast_eligible(s.req.params)
-                        and self._run_lookup_block(i, active[i])):
+            # greedy active slots: opt-in prompt-lookup speculation
+            # (tokens-per-dispatch multiplies by acceptance); one slot
+            # runs the proven single-slot loop, several run the batched
+            # (B, 1+k) compound-verify loop
+            if (self.lookup_decoding and self.pending.empty()
+                    and all(self.slots[i].sampler.grammar is None
+                            and not self.slots[i].req.stop_strs
+                            and self.slots[i].req.params.n_probs == 0
+                            and self.slots[i].req.params.temp <= 0.0
+                            and self._fast_eligible(self.slots[i].req.params)
+                            for i in active)):
+                if len(active) == 1:
+                    i = next(iter(active))
+                    ok = self._run_lookup_block(i, active[i])
+                else:
+                    ok = self._run_lookup_block_multi(active)
+                if ok:
                     with self.metrics.lock:
                         self.metrics.fast_blocks += 1
                     continue

@@ -70,7 +70,8 @@ def ensure_models(steps: int, out_dir: str = "tmp_bench", big: bool = False,
 
 def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
                n_predict: int = 256, drafts=(0, 3, 5, 8), n_ctx: int = 1024,
-               lookup: bool = True, log=print) -> list[dict]:
+               lookup: bool = True, tree: bool = False,
+               p_split: float = 0.1, log=print) -> list[dict]:
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.speculative import (generate_prompt_lookup_fast,
                                              generate_speculative_fast)
@@ -139,6 +140,21 @@ def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
                 target, draft, prompt, n_predict=n_predict, n_draft=k,
                 temp=0.0, stop_on_eos=False)[::2])
             row(k, "on-device speculative", ts, wall, st)
+    if tree:
+        from tpulamm.runtime.spec_tree import generate_speculative_tree
+        for k in drafts:
+            if k == 0:
+                continue
+            for nsd in (2, 4):
+                generate_speculative_tree(
+                    target, draft, prompt, n_predict=n_predict, n_draft=k,
+                    n_seq_dft=nsd, p_split=p_split, temp=0.0,
+                    stop_on_eos=False)                              # warm
+                ts, wall, st = timed(lambda: generate_speculative_tree(
+                    target, draft, prompt, n_predict=n_predict, n_draft=k,
+                    n_seq_dft=nsd, p_split=p_split, temp=0.0,
+                    stop_on_eos=False)[::2])
+                row(k, f"on-device draft-tree nsd={nsd}", ts, wall, st)
     return rows
 
 
@@ -153,6 +169,9 @@ def main(argv=None) -> int:
                    help="override the target GGUF (still uses the trained "
                         "draft + corpus prompt)")
     p.add_argument("--no-lookup", action="store_true")
+    p.add_argument("--tree", action="store_true",
+                   help="also bench draft-TREE speculation (n_seq_dft 2/4)")
+    p.add_argument("--p-split", type=float, default=0.1)
     p.add_argument("--big", action="store_true",
                    help="use the ~520M weight-streaming-bound target "
                         "(trains it on first use; --steps applies)")
@@ -161,7 +180,8 @@ def main(argv=None) -> int:
     tgt, drf, tgt_q4, corpus = ensure_models(args.steps, big=args.big)
     target = args.model or (tgt if args.f32 else tgt_q4)
     rows = bench_pair(target, drf, corpus, n_predict=args.n_predict,
-                      lookup=not args.no_lookup,
+                      lookup=not args.no_lookup, tree=args.tree,
+                      p_split=args.p_split,
                       drafts=tuple(int(x) for x in args.drafts.split(",")))
     if args.output:
         with open(args.output, "w") as f:
