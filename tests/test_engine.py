@@ -304,3 +304,54 @@ def test_b_rows_compaction_parity(model_path, monkeypatch):
     monkeypatch.setenv("TPULAMM_NO_B_ROWS", "1")
     ref = drive(Engine(model_path, n_ctx=64, n_slots=8))
     assert got == ref
+
+
+def test_b_rows_guard_catches_broken_bucket(model_path, monkeypatch):
+    """Adversarial scheduler drift: a bucket that does NOT cover every
+    active slot id must fail loudly at the step call site (silently wrong
+    rows were the hazard — the step only reads/writes the first b rows)."""
+    eng = Engine(model_path, n_ctx=64, n_slots=8)
+    eng.prefill(0, [1, 9])
+    eng.prefill(5, [2, 8])
+    monkeypatch.setattr(Engine, "_b_rows", lambda self, ids: 2)  # broken
+    with pytest.raises(AssertionError, match="outside compaction bucket"):
+        eng.decode_batch({0: 3, 5: 4})
+    with pytest.raises(AssertionError, match="outside compaction bucket"):
+        eng.decode_batch_fast({0: 3, 5: 4}, 6)
+
+
+def test_move_slot_renumber_parity(model_path):
+    """Engine.move_slot relocates a slot's KV + host state: decode after
+    migration matches decode of the same history on the target slot."""
+    toks = [1, 9, 33, 4]
+    eng = Engine(model_path, n_ctx=64, n_slots=8)
+    eng.prefill(6, toks)
+    ref = Engine(model_path, n_ctx=64, n_slots=8)
+    ref.prefill(0, toks)
+    eng.move_slot(6, 0)
+    assert int(eng.n_past[6]) == 0 and int(eng.n_past[0]) == len(toks)
+    a = eng.decode_batch({0: 11})[0]
+    b = ref.decode_batch({0: 11})[0]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_server_compacts_high_slot(model_path):
+    """Scheduler._compact_slots migrates a lone high busy slot down so the
+    compaction bucket shrinks; without migration a straggler on slot 7
+    keeps every step at full batch width for its whole request."""
+    from tpulamm.server.server import Scheduler
+    eng = Engine(model_path, n_ctx=64, n_slots=8)
+    sched = Scheduler(eng, 8)          # not started: drive methods directly
+    eng.prefill(7, [1, 9, 33])
+
+    class _Req:                        # only .req-ness is consulted
+        pass
+
+    sched.slots[7].req = _Req()
+    sched.slots[7].hist = [1, 9, 33]
+    sched.slots[7].next_tok = 5
+    sched._compact_slots()
+    assert sched.slots[0].req is not None and sched.slots[7].req is None
+    assert sched.slots[0].hist == [1, 9, 33]
+    assert int(eng.n_past[0]) == 3 and int(eng.n_past[7]) == 0
+    assert eng._b_rows([0]) == 1

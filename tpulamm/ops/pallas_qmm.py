@@ -451,8 +451,15 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
     """
     n, k = qt.mm_dims     # plane-derived: local dims inside shard_map
     assert k % TK == 0, f"K={k} must be a multiple of {TK}"
-    assert n % 128 == 0, f"N={n} must be a multiple of 128"
+    if n % 128 != 0:
+        # hard error (not assert): under python -O a 128-non-multiple N
+        # would silently leave remainder output columns unwritten.
+        raise ValueError(f"N={n} must be a multiple of 128")
     m = x.shape[0]
+    # An explicit f32 request (exactness/KL workflows: imatrix, finetune,
+    # --compute-dtype float32) means exact dequant dots — it must also
+    # opt the call out of the int8 quantized-activation path below.
+    explicit_f32 = jnp.dtype(compute_dtype) == jnp.float32
     if m <= 16:
         # decode (gemv) regime: f32 unpack wins over the bf16 i8-trick path
         # for tiny M, with the same wide tiles as large M. Measured IN-SCAN
@@ -503,11 +510,11 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         for d in range(cap // 128, 0, -1):
             if n % (d * 128) == 0:
                 return d * 128
-        return 128
+        raise ValueError(f"N={n} has no multiple-of-128 divisor tile")
 
     import os
     i8mode = os.environ.get("TPULAMM_INT8_DOT", "1")
-    if gemv and i8mode != "0":
+    if gemv and i8mode != "0" and not (explicit_f32 and i8mode != "force"):
         # int8 activations + int8xint8 MXU dots with per-group rescale —
         # the reference's vec_dot_type architecture (ggml.c:458-778).
         # DEFAULT for decode: tg256 7B Q4_0 107.9 -> 128.7 t/s (+19%),

@@ -445,6 +445,17 @@ class Engine:
         b = 1 << (hi - 1).bit_length() if hi > 1 else 1
         return None if b >= self.n_slots else b
 
+    @staticmethod
+    def _assert_b_cover(ids, b: int):
+        """Loud invariant at every compacted-step call site: the step
+        reads/writes only the FIRST b cache rows, so every active slot id
+        must fit the bucket. A scheduler/migration/bucket-math change that
+        violates this must fail here, not produce silently wrong rows."""
+        bad = [int(i) for i in ids if not 0 <= int(i) < b]
+        if bad:
+            raise AssertionError(
+                f"active slot ids {bad} outside compaction bucket {b}")
+
     def _step_exec(self, kv_span: int | None):
         """Single-ubatch step executable for one attention span."""
         fn = self._step_cache.get(kv_span)
@@ -568,6 +579,7 @@ class Engine:
         slot model from server.cpp:131,1617). Idle slots run masked."""
         t0 = time.perf_counter()
         b = self._b_rows(toks) or self.n_slots
+        self._assert_b_cover(toks, b)
         tok = np.zeros((b, 1), np.int32)
         pos = np.full((b, 1), -1, np.int32)
         cel = np.full((b, 1), self.n_ctx, np.int32)
@@ -785,6 +797,17 @@ class Engine:
         self.timings.t_eval += time.perf_counter() - t0
         self.timings.n_eval += 1
         return logits[0]
+
+    def move_slot(self, src: int, dst: int):
+        """Renumber a slot: move its KV rows + host state to `dst`, clear
+        `src`. Used by the server to keep active slot ids a low prefix so
+        the _b_rows compaction bucket stays tight when a high-numbered
+        slot outlives its neighbours (without it the +63% serving win
+        silently reverts for the rest of that request, PERF.md)."""
+        if src == dst:
+            return
+        self.seq_cp(src, dst)
+        self.reset_slot(src)
 
     def seq_cp(self, src: int, dst: int):
         """Copy a slot's KV cells to another slot (llama_kv_cache_seq_cp,
@@ -1126,6 +1149,7 @@ class Engine:
                 raise ValueError("decode_batch_sampled would overflow n_ctx")
         t0 = time.perf_counter()
         B = self._b_rows(toks) or self.n_slots
+        self._assert_b_cover(toks, B)
         tok = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         act = np.zeros(B, bool)
@@ -1218,6 +1242,7 @@ class Engine:
                 raise ValueError("decode_batch_fast would overflow n_ctx")
         t0 = time.perf_counter()
         B = self._b_rows(toks) or self.n_slots
+        self._assert_b_cover(toks, B)
         tok = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         act = np.zeros(B, bool)

@@ -127,10 +127,20 @@ def _build_tree_scan(target: Engine, draft: Engine, n_draft: int,
             probs = jax.nn.softmax(lg[0, :, :Vd], axis=-1)        # (B, Vd)
             pv, pi = jax.lax.top_k(probs, F)
 
+            # Snapshot tip state BEFORE the branch loop: a fork created by
+            # an earlier iteration of this same pass lives at a slot
+            # >= n_seq_cur(snapshot) and was NOT part of this step's
+            # forward — its logits row is a masked pos=-1 row, i.e.
+            # garbage. Such forks must only be extended after the NEXT
+            # forward, so every read below goes through the snapshot and
+            # every write preserves the CURRENT value for branches that
+            # were inactive at snapshot time.
             tips0 = tips_node
+            act0 = tips_act
+            lo0, hi0 = tips_lo, tips_hi
             for b in range(B):
-                act = tips_act[b]
-                lo_b, hi_b = tips_lo[b], tips_hi[b]
+                act = act0[b]
+                lo_b, hi_b = lo0[b], hi0[b]
                 # fork decisions first: the continuing child's written
                 # range must already exclude forked ids (a fork is an
                 # ALTERNATIVE to the continuation, not its descendant)
@@ -152,8 +162,9 @@ def _build_tree_scan(target: Engine, draft: Engine, n_draft: int,
                 seg = seg.at[idx].set(jnp.where(
                     can, pack(lo_b, hi_b - n_forks), seg[idx]))
                 tips_node = tips_node.at[b].set(
-                    jnp.where(can, idx, tips0[b]))
-                tips_act = tips_act.at[b].set(can)
+                    jnp.where(can, idx, tips_node[b]))
+                tips_act = tips_act.at[b].set(
+                    jnp.where(act, can, tips_act[b]))
                 n_nodes = n_nodes + can
                 # fork nodes take ids from the top of the pool
                 taken = i32(0)
@@ -181,7 +192,8 @@ def _build_tree_scan(target: Engine, draft: Engine, n_draft: int,
                     n_nodes = n_nodes + ok
                     n_seq_cur = n_seq_cur + ok
                     taken = taken + ok
-                tips_hi = tips_hi.at[b].set(hi_b - taken)
+                tips_hi = tips_hi.at[b].set(
+                    jnp.where(act, hi_b - taken, tips_hi[b]))
             return (cache_d, tok, par, dep, seg, tips_node, tips_act,
                     tips_lo, tips_hi, n_nodes, n_seq_cur, depth + 1)
 

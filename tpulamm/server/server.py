@@ -148,21 +148,34 @@ class Scheduler(threading.Thread):
         self._pending_system = text
 
     def _apply_system(self):
+        # Runs on the scheduler thread: any exception here would kill the
+        # run() loop and hang every client, so validate BEFORE touching
+        # slot state and never let an error escape.
         text, self._pending_system = self._pending_system, None
         eng = self.engine
-        toks = (eng.tokenizer.encode(text, special=True)
-                if text and eng.tokenizer else [])
-        for i in range(self.n_slots):
-            eng.reset_slot(i)
-            self.slots[i].hist = []
-        if toks:
-            eng.prefill(0, toks)
-            for i in range(1, self.n_slots):
-                eng.seq_cp(0, i)
+        try:
+            toks = (eng.tokenizer.encode(text, special=True)
+                    if text and eng.tokenizer else [])
+            limit = eng.n_ctx - max(1, eng.n_ctx // 4)
+            if len(toks) > limit:
+                raise ValueError(
+                    f"system prompt is {len(toks)} tokens; max {limit} "
+                    f"(n_ctx {eng.n_ctx} minus generation headroom)")
             for i in range(self.n_slots):
-                self.slots[i].hist = list(toks)
-        self.system_prompt = text or ""
-        self.system_tokens = toks
+                eng.reset_slot(i)
+                self.slots[i].hist = []
+            if toks:
+                eng.prefill(0, toks)
+                for i in range(1, self.n_slots):
+                    eng.seq_cp(0, i)
+                for i in range(self.n_slots):
+                    self.slots[i].hist = list(toks)
+            self.system_prompt = text or ""
+            self.system_tokens = toks
+        except Exception as e:  # noqa: BLE001 — scheduler must survive
+            from tpulamm.utils import log as logm
+            logm.log_tee(f"system prompt update rejected: {e}",
+                         level="error")
 
     def submit(self, req: Request):
         with self.metrics.lock:
@@ -573,6 +586,7 @@ class Scheduler(threading.Thread):
                                           np.arange(n))):
                 return False
         B = eng._b_rows(active) or eng.n_slots
+        eng._assert_b_cover(active, B)
         scans = getattr(eng, "_spec_scans", None)
         if scans is None:
             scans = eng._spec_scans = {}
@@ -622,11 +636,44 @@ class Scheduler(threading.Thread):
             slot.hist.extend(block[:-1])   # block[-1] is the new carry
             tot_acc += int(accs[:n_steps, i].sum())
             self._emit_generated(i, block)
+        # drafted per slot = k per step the slot actually ran (a slot that
+        # froze on eos/budget before the scan's last step emits -1 rows for
+        # the remaining steps and must not count as drafting)
+        ran = (rows[:n_steps] >= 0).any(axis=-1)        # (n_steps, B)
         with self.metrics.lock:
             self.metrics.spec_blocks += 1
-            self.metrics.spec_drafted += k * n_steps * len(active)
+            self.metrics.spec_drafted += k * int(ran.sum())
             self.metrics.spec_accepted += tot_acc
         return True
+
+    def _compact_slots(self):
+        """Keep active slot ids a low prefix: when a high-numbered slot
+        outlives its neighbours, the _b_rows compaction bucket stays
+        inflated for the remainder of its request. Migrate the highest
+        busy slot into the lowest free slot whenever that shrinks the
+        bucket (one KV-row copy per migration). This trades away the
+        target slot's cached prompt prefix (cache_prompt), which is worth
+        strictly less than streaming idle KV rows on every step."""
+        eng = self.engine
+        if eng.mesh is not None or eng.recurrent or eng.mega is not None:
+            return
+        while True:
+            busy = [i for i, s in enumerate(self.slots)
+                    if s.req is not None]
+            if not busy:
+                return
+            free = [i for i in range(self.n_slots)
+                    if self.slots[i].req is None]
+            if not free or free[0] > busy[-1]:
+                return
+            cur = eng._b_rows(busy) or eng.n_slots
+            new = eng._b_rows(busy[:-1] + [free[0]]) or eng.n_slots
+            if new >= cur:
+                return
+            src, dst = busy[-1], free[0]
+            eng.move_slot(src, dst)
+            self.slots[dst] = self.slots[src]
+            self.slots[src] = SlotState()
 
     def run(self):
         while self.running:
@@ -640,6 +687,7 @@ class Scheduler(threading.Thread):
                     time.sleep(0.002)
                     continue
             self._assign()
+            self._compact_slots()
             active = {i: s.next_tok for i, s in enumerate(self.slots)
                       if s.req is not None and s.next_tok is not None}
             with self.metrics.lock:
