@@ -42,6 +42,28 @@ def test_flash_matches_reference(causal, shift):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("shift", [False, True])
+def test_flash_q8_scales_match_reference(shift):
+    """q8_0 KV cache path: int8 codes + per-row scales folded in-kernel
+    (ks into score columns, vs into p) must match the dequantized golden
+    reference."""
+    q, k, v, kpos, qbase, qlen = _mk(shift=shift)
+    rng = np.random.default_rng(7)
+    B, Hkv, S, hd = k.shape
+    k8 = jnp.asarray(rng.integers(-127, 128, size=k.shape), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, size=v.shape), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    args = dict(scale=0.125, g=4, causal=True)
+    ref = flash_attention_ref(q, k8, v8, kpos, qbase, qlen, ks, vs, **args)
+    got = flash_attention(q, k8, v8, kpos, qbase, qlen, ks, vs,
+                          interpret=True, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_flash_decode_shape_and_padding():
     """T=1 decode with one inactive slot (qlen=0) -> exact zeros."""
     q, k, v, kpos, qbase, qlen = _mk(B=2, T=1, G=8, S=96)

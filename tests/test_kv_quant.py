@@ -191,9 +191,18 @@ def test_cache_query_methods_exist():
     assert np.array_equal(np.asarray(c.max_pos()), [-1, -1])
 
 
-def test_q8_flash_attn_explicit_rejected(model_path):
-    with pytest.raises(ValueError, match="flash_attn.*incompatible"):
-        Engine(model_path, n_ctx=32, kv_dtype="q8_0", flash_attn=True)
+def test_q8_flash_attn_parity(model_path):
+    """flash + q8_0 KV (the long-context configuration): greedy decode
+    must match the einsum path's scale-folded attention."""
+    eng_e = Engine(model_path, n_ctx=64, kv_dtype="q8_0", flash_attn=False)
+    ids_ref, _ = eng_e.generate([1, 5, 42, 7, 99], n_predict=8,
+                                sampling=SamplingParams(temp=0.0),
+                                stop_on_eos=False)
+    eng_f = Engine(model_path, n_ctx=64, kv_dtype="q8_0", flash_attn=True)
+    ids, _ = eng_f.generate([1, 5, 42, 7, 99], n_predict=8,
+                            sampling=SamplingParams(temp=0.0),
+                            stop_on_eos=False)
+    assert ids == ids_ref
 
 
 def test_session_kv_layout_mismatch_rejected(model_path, tmp_path):

@@ -1,0 +1,144 @@
+"""Multi-host SERVING transport: 2-process CPU live-server test.
+
+VERDICT r3 missing #3 / SURVEY §5.8 north star: the engine-level
+multi-host path existed (tests/test_multihost.py) but the server refused
+process_count > 1. Now process 0 keeps the HTTP frontend and mirrors
+every engine call to the workers over a TCP side channel
+(server.multihost); each jitted step is the SPMD meeting point over the
+GLOBAL mesh — a response can only be produced at all if both processes
+step identical programs, so a correct response is itself the transport
+proof. This test additionally checks output parity against a
+single-process tp=8 server over the same 8 (virtual) devices.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+pytest.importorskip("transformers")
+import torch
+import transformers
+
+from tpulamm.gguf.constants import GGMLType
+from tpulamm.tools.convert_hf import convert_hf_llama
+from tests.test_engine import make_vocab_md, VOCAB
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    torch.manual_seed(3)
+    m = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        max_position_embeddings=128)).eval()
+    sd = {k: v.float().numpy() for k, v in m.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("mhsrv") / "m.gguf")
+    convert_hf_llama(sd, m.config, path, qtype=GGMLType.F32,
+                     vocab=make_vocab_md())
+    return path
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _subproc_env() -> dict:
+    env = dict(os.environ)
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([ROOT] + pp)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    return env
+
+
+def _post(base, path, body, timeout=300):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _wait_health(base, deadline=300):
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        try:
+            with urllib.request.urlopen(base + "/health", timeout=5) as r:
+                if r.status == 200:
+                    return
+        except OSError:
+            time.sleep(1.0)
+    raise TimeoutError("server did not come up")
+
+
+def test_two_process_server(model_path):
+    coord, http0, bport = _free_port(), _free_port(), _free_port()
+    env = _subproc_env()
+    worker = os.path.join(ROOT, "tests", "_mh_server_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(coord), str(pid), model_path,
+         str(http0), str(bport)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    try:
+        base = f"http://127.0.0.1:{http0}"
+        _wait_health(base)
+
+        reqs = [{"prompt": "the cat", "n_predict": 8, "temperature": 0.0},
+                {"prompt": "a mat", "n_predict": 6, "temperature": 0.0}]
+        # two CONCURRENT requests: continuous batching across processes
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_post, base, "/completion", r) for r in reqs]
+            mh = [f.result() for f in futs]
+        for st, obj in mh:
+            assert st == 200 and obj["stop"] is True
+            assert obj["tokens_predicted"] > 0
+
+        # sequential re-ask must reproduce (deterministic greedy)
+        st, obj = _post(base, "/completion", reqs[0])
+        assert st == 200 and obj["content"] == mh[0][1]["content"]
+    finally:
+        outs = []
+        procs[0].terminate()           # frontend killed -> workers EOF
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=120))
+            except subprocess.TimeoutExpired:
+                p.kill()
+                outs.append(p.communicate())
+    # the worker must have exited CLEANLY via the channel EOF
+    assert procs[1].returncode == 0, outs[1][1].decode()[-2000:]
+
+    # single-process tp=8 reference over the same 8 virtual devices
+    # (pytest conftest forces an 8-device CPU platform)
+    from tpulamm.server.server import serve
+    started = threading.Event()
+    t = threading.Thread(target=serve, args=(model_path,),
+                         kwargs=dict(host="127.0.0.1", port=0, n_slots=2,
+                                     n_ctx=128, tp=8, started=started),
+                         daemon=True)
+    t.start()
+    assert started.wait(timeout=300)
+    ref_base = f"http://127.0.0.1:{started.httpd.server_port}"
+    try:
+        for (st, obj), r in zip(mh, reqs):
+            st2, ref = _post(ref_base, "/completion", r)
+            assert st2 == 200
+            assert obj["content"] == ref["content"], (
+                obj["content"], ref["content"])
+    finally:
+        started.sched.running = False
+        started.httpd.shutdown()

@@ -493,3 +493,55 @@ def test_server_lookup_decoding_multislot(tmp_path_factory):
     finally:
         lu.sched.running = False
         lu.httpd.shutdown()
+
+
+def test_server_lookup_decoding_sampled(tmp_path_factory):
+    """Sampled speculative serving (temperature verify with exact
+    acceptance): temp>0 requests take the batched lookup tier. With a
+    near-zero temperature the sampled verify walk must reproduce the
+    greedy reference exactly (any acceptance/correction off-by-one would
+    corrupt it); with temp=0.8 the path must still be taken and complete."""
+    torch.manual_seed(9)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv_lus") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+
+    from tpulamm.server.server import serve
+    started = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(path,),
+        kwargs=dict(port=0, n_slots=4, n_ctx=128, started=started,
+                    lookup_decoding=True), daemon=True)
+    th.start()
+    assert started.wait(timeout=300)
+    base = f"http://127.0.0.1:{started.httpd.server_port}"
+    try:
+        body = {"prompt": "the cat sat on the mat, the cat sat on",
+                "n_predict": 16, "repeat_penalty": 1.0, "top_k": 40,
+                "top_p": 1.0, "min_p": 0.0}
+        # greedy reference
+        _, bb = _post(base, "/completion", dict(body, temperature=0.0))
+        ref = json.loads(bb)
+        # near-zero temperature through the SAMPLED verify path: the
+        # softmax is effectively one-hot, so output must equal greedy
+        spec0 = started.sched.metrics.spec_blocks
+        _, bb = _post(base, "/completion", dict(body, temperature=1e-4))
+        got = json.loads(bb)
+        assert got["content"] == ref["content"]
+        assert started.sched.metrics.spec_blocks > spec0
+        # a real temperature still takes the tier and completes
+        spec1 = started.sched.metrics.spec_blocks
+        _, bb = _post(base, "/completion", dict(body, temperature=0.8))
+        got = json.loads(bb)
+        assert got["tokens_predicted"] > 0
+        assert started.sched.metrics.spec_blocks > spec1
+    finally:
+        started.sched.running = False
+        started.httpd.shutdown()

@@ -208,13 +208,12 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     S_cache = kc.shape[2]          # span-aware: the real workload size
     auto = jax.default_backend() == "tpu" and (
         (T >= 64 and S_cache >= 1024) or S_cache >= 6144)
-    # quantized (q8_0) caches use the einsum path: the per-row scales fold
-    # into the score/prob tensors for free there, while the flash kernel
-    # would need an in-kernel dequant variant (the reference likewise only
-    # allows quantized KV together with its FA path, arg parity inverted)
+    # quantized (q8_0) caches work on BOTH paths: einsum folds the per-row
+    # scales into the score/prob tensors; the flash kernel folds them
+    # in-kernel (ks into score columns, vs into p) — either way the cache
+    # streams 1 byte/elem (the long-context regime q8_0 exists for).
     use_flash = (segs is None and cfg.max_alibi_bias == 0.0
                  and hd in (64, 128, 256)
-                 and not cache.quantized
                  and (cfg.flash_attn if cfg.flash_attn is not None
                       else auto))
     if use_flash:
@@ -225,7 +224,15 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
             B, cfg.n_kv_heads, T * group, hd)
         qbase = positions[:, 0]
         qlen = jnp.sum(positions >= 0, axis=1).astype(jnp.int32)
+
+        def scp(planes):
+            if planes is None:
+                return None
+            sc = (crow(planes[layer_idx]) if slots is None
+                  else planes[layer_idx][slots])
+            return sc[:, :, :S_cache]
         o = flash_attention(qf, kc, vc, kpos, qbase, qlen,
+                            scp(cache.ks), scp(cache.vs),
                             scale=float(1.0 / math.sqrt(hd)), g=group,
                             causal=cfg.causal,
                             interpret=jax.default_backend() != "tpu")

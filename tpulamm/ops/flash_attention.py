@@ -42,10 +42,13 @@ NEG_INF = -1e30
 
 def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
             q_ref, k_ref, v_ref, kpos_ref,  # VMEM tiles
-            out_ref,
-            acc_ref, m_ref, l_ref,          # VMEM scratch
-            *, scale: float, g: int, tg_t: int, s_t: int, s_total: int,
-            causal: bool, compute_dtype):
+            *refs,                           # [ks_ref] [vs_ref] out scratch
+            scale: float, g: int, tg_t: int, s_t: int, s_total: int,
+            causal: bool, compute_dtype, has_ks: bool, has_vs: bool):
+    refs = list(refs)
+    ks_ref = refs.pop(0) if has_ks else None
+    vs_ref = refs.pop(0) if has_vs else None
+    out_ref, acc_ref, m_ref, l_ref = refs
     b = pl.program_id(0)
     i = pl.program_id(2)                    # TG tile
     j = pl.program_id(3)                    # S tile (innermost, arbitrary)
@@ -61,6 +64,11 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * scale                                    # (TGt, St)
+    if has_ks:
+        # q8_0 K cache: codes were dotted raw; fold the per-key-row scale
+        # into the score columns ((q . k_i8) * ks == q . k_dequant). Tail
+        # garbage becomes NaN here and dies in the live-mask where below.
+        s = s * ks_ref[0, 0][None, :]
 
     # kpos block carries ALL batch rows (a (1, St) block would violate the
     # TPU sublane-divisibility rule for B > 1); ref-slice this b's row
@@ -88,6 +96,15 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
     # mode) and 0 * NaN would poison the matmul — zero them explicitly
     vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + j * s_t
     v = jnp.where(vrow < s_total, v, 0)
+    if has_vs:
+        # q8_0 V cache: the scale is per key row and S is the contracted
+        # axis, so it folds into p ((p * vs) . v_i8 == p . v_dequant) —
+        # (TGt, St) multiplies instead of dequantizing the (St, hd) tile.
+        # Zero OOB tail scales: p is 0 there but 0 * NaN would poison pv.
+        vcol = (jax.lax.broadcasted_iota(jnp.int32, (1, s_t), 1)
+                + j * s_t)
+        vsv = jnp.where(vcol < s_total, vs_ref[0, 0][None, :], 0)
+        p = p * vsv
     pv = jax.lax.dot_general(p.astype(compute_dtype), v,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -103,10 +120,14 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "g", "causal", "interpret"))
-def flash_attention(q, k, v, kpos, qbase, qlen, *, scale: float, g: int,
+def flash_attention(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
+                    scale: float, g: int,
                     causal: bool = True, interpret: bool = False):
     """q: (B, Hkv, TG, hd) f32; k/v: (B, Hkv, S, hd) (any dtype; cast to
     bf16 in-kernel); kpos: (B, S) int32; qbase/qlen: (B,) int32.
+    ks/vs: optional (B, Hkv, S) f32 per-row scales of a q8_0 KV cache
+    (runtime/kvcache.py) — folded into scores / probs in-kernel, so
+    quantized caches stream 1 byte/elem through flash too.
     Returns (B, Hkv, TG, hd) f32."""
     B, Hkv, TG, hd = q.shape
     S = k.shape[2]
@@ -118,25 +139,35 @@ def flash_attention(q, k, v, kpos, qbase, qlen, *, scale: float, g: int,
     grid = (B, Hkv, pl.cdiv(TG, tg_t), pl.cdiv(S, s_t))
     kernel = functools.partial(
         _kernel, scale=scale, g=g, tg_t=tg_t, s_t=s_t, s_total=S,
-        causal=causal, compute_dtype=jnp.bfloat16)
+        causal=causal, compute_dtype=jnp.bfloat16,
+        has_ks=ks is not None, has_vs=vs is not None)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # qbase (B,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # qlen (B,)
+        pl.BlockSpec((1, 1, tg_t, hd), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, s_t), lambda b, h, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [qbase, qlen, q, k, v, kpos]
+    sc_spec = pl.BlockSpec((1, 1, s_t), lambda b, h, i, j: (b, h, j),
+                           memory_space=pltpu.VMEM)
+    for sc in (ks, vs):
+        if sc is not None:
+            in_specs.append(sc_spec)
+            inputs.append(sc)
 
     flops = 4 * B * Hkv * TG * S * hd
     kv_bytes = 2 * B * Hkv * S * hd * k.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # qbase (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # qlen (B,)
-            pl.BlockSpec((1, 1, tg_t, hd), lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_t, hd), lambda b, h, i, j: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, s_t), lambda b, h, i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, tg_t, hd),
                                lambda b, h, i, j: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
@@ -153,14 +184,20 @@ def flash_attention(q, k, v, kpos, qbase, qlen, *, scale: float, g: int,
             flops=flops, bytes_accessed=kv_bytes + 2 * q.size * 4,
             transcendentals=B * Hkv * TG * S),
         interpret=interpret,
-    )(qbase, qlen, q, k, v, kpos)
+    )(*inputs)
 
 
-def flash_attention_ref(q, k, v, kpos, qbase, qlen, *, scale, g,
-                        causal=True):
+def flash_attention_ref(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
+                        scale, g, causal=True):
     """jnp reference with identical semantics (golden model for tests)."""
     B, Hkv, TG, hd = q.shape
     S = k.shape[2]
+    kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+    if ks is not None:
+        kf = kf * ks.astype(jnp.float32)[:, :, :, None]
+    if vs is not None:
+        vf = vf * vs.astype(jnp.float32)[:, :, :, None]
+    k, v = kf, vf
     s = jnp.einsum("bhrd,bhsd->bhrs", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
     live = (kpos >= 0)[:, None, None, :]

@@ -302,6 +302,163 @@ def _qmm_int8_call(x, planes: dict, *, qtype: GGMLType, n: int, k: int,
     )(*inputs, *[planes[nm] for nm in names])
 
 
+def _make_int8_kernel_inkq(qtype: GGMLType, tn: int, kc: int,
+                           k_total: int, m: int):
+    """int8 dequant-dot with IN-KERNEL activation quantization.
+
+    The XLA prologue (_quantize_acts) costs ~3 us per qmm call in the
+    decode regime (measured, tools/decode_roofline) — transposes + small
+    fused kernels whose launch floors rival the whole gemv. Here x
+    arrives TRANSPOSED (k, m) so the group split is a pure sublane
+    reshape, and quantization (group amax -> scale -> int8 codes) runs on
+    the VPU inside the same launch that streams the weights; its cost is
+    O(m*tk), ~tn times smaller than the weight unpack it shares the
+    kernel with."""
+    spec = SPECS[qtype]
+    names = PLANE_ORDER[qtype]
+    tk = kc * TK
+    gw = spec.group
+    groups = tk // gw
+    g_all = -(-k_total // gw)         # total groups (k padded to tk grid)
+    g_pad = pl.cdiv(k_total, tk) * groups
+    has_tail = k_total % tk != 0
+    corr = spec.zero != 0 or spec.has_min
+
+    def kernel(xt_ref, *refs):
+        plane_refs = dict(zip(names, refs[:-1 - (3 if corr else 2)]))
+        out_ref = refs[-1 - (3 if corr else 2)]
+        qx_scr, sx_scr = refs[-(3 if corr else 2):][:2]
+        gs_scr = refs[-1] if corr else None
+        tile = pl.program_id(0)
+        kstep = pl.program_id(1)
+
+        def tail_mask(arr, axis: int):
+            if not has_tail:
+                return arr
+            gr = (jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis)
+                  + kstep * groups)
+            return jnp.where(gr * gw < k_total, arr, 0)
+
+        # -- in-kernel activation quant (reference INIT phase,
+        #    ggml.c:10867-10886): ONCE per call at the first grid step,
+        #    fully vectorized over all k/gw groups into scratch; every
+        #    grid step then only reads its (groups, gw, m) slice. Gemv
+        #    grid steps are 1-3 us floor-bound — per-step quant ops there
+        #    measured an 8% tg256 regression, one-shot scratch does not.
+        @pl.when((tile == 0) & (kstep == 0))
+        def _quant():
+            xall = xt_ref[pl.ds(0, g_all * gw), :]
+            xb = xall.reshape(g_all, gw, m)                # (G, gw, m)
+            amax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+            s = amax * jnp.float32(1.0 / 127.0)
+            s_safe = jnp.where(s > 0, s, jnp.float32(1.0))
+            q = jnp.clip(jnp.round(xb / s_safe), -127, 127)
+            qx_scr[pl.ds(0, g_all)] = q.astype(jnp.int8)
+            sx_scr[pl.ds(0, g_all)] = s_safe.reshape(g_all, m)
+            if corr:
+                gs_scr[pl.ds(0, g_all)] = xb.sum(axis=1)
+            if g_pad > g_all:                              # tail groups
+                qx_scr[pl.ds(g_all, g_pad - g_all)] = jnp.zeros(
+                    (g_pad - g_all, gw, m), jnp.int8)
+                sx_scr[pl.ds(g_all, g_pad - g_all)] = jnp.zeros(
+                    (g_pad - g_all, m), jnp.float32)
+                if corr:
+                    gs_scr[pl.ds(g_all, g_pad - g_all)] = jnp.zeros(
+                        (g_pad - g_all, m), jnp.float32)
+
+        q = qx_scr[pl.ds(kstep * groups, groups)]          # (g, gw, m)
+        sw = tail_mask(_load_scales(plane_refs["scales"]), 0)  # (g, tn)
+        qv = _unpack_values_i8(qtype, plane_refs, kc, tn)      # (tk, tn)
+        qv3 = qv.reshape(groups, gw, tn)
+        idot = jax.lax.dot_general(
+            q, qv3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)              # (g, m, tn)
+        sx = sx_scr[pl.ds(kstep * groups, groups)]         # (g, m)
+        part = jnp.sum(idot.astype(jnp.float32) * sw[:, None, :]
+                       * sx[:, :, None], axis=0)           # (m, tn)
+        if corr:
+            off = -spec.zero * sw
+            if spec.has_min:
+                off = off + tail_mask(_load_scales(plane_refs["mins"]), 0)
+            gsum = gs_scr[pl.ds(kstep * groups, groups)]   # (g, m)
+            part = part + jax.lax.dot_general(
+                gsum, off, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(kstep == 0)
+        def _():
+            out_ref[:] = part
+
+        @pl.when(kstep > 0)
+        def _():
+            out_ref[:] = out_ref[:] + part
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qtype", "n", "k", "tn", "kc",
+                                    "interpret"))
+def _qmm_int8_call_inkq(x, planes: dict, *, qtype: GGMLType, n: int,
+                        k: int, tn: int, kc: int, interpret: bool):
+    planes = {nm: (jax.lax.bitcast_convert_type(p, jnp.uint16)
+                   if p.dtype == jnp.float16 else p)
+              for nm, p in planes.items()}
+    spec = SPECS[qtype]
+    m_pad = max(8, -(-x.shape[0] // 8) * 8)
+    if m_pad != x.shape[0]:
+        x = jnp.pad(x.astype(jnp.float32), ((0, m_pad - x.shape[0]), (0, 0)))
+    m = m_pad
+    xt = x.astype(jnp.float32).T                           # (k, m)
+    names = PLANE_ORDER[qtype]
+    tk = kc * TK
+    groups = tk // spec.group
+    n_k = pl.cdiv(k, tk)
+    g_pad = n_k * groups
+    corr = spec.zero != 0 or spec.has_min
+
+    # x stays fully VMEM-resident (k*m*4 <= ~350KB at decode sizes): the
+    # one-shot quant at grid step (0,0) needs every group at once
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    for name in names:
+        if name in PLANE_ROWS:
+            rows = PLANE_ROWS[name] * kc
+        else:  # scales / mins
+            rows = groups
+        in_specs.append(pl.BlockSpec((rows, tn), lambda i, j: (j, i),
+                                     memory_space=pltpu.VMEM))
+
+    out_spec = pl.BlockSpec((m, tn), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((g_pad, spec.group, m), jnp.int8),
+               pltpu.VMEM((g_pad, m), jnp.float32)]
+    if corr:
+        scratch.append(pltpu.VMEM((g_pad, m), jnp.float32))
+    qbytes = sum(p.size * p.dtype.itemsize for p in planes.values())
+    cost = pl.CostEstimate(
+        flops=2 * m * k * n,
+        bytes_accessed=qbytes + m * k * 4 + m * n * 4,
+        transcendentals=0,
+    )
+    kernel = _make_int8_kernel_inkq(qtype, tn, kc, k, m)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tn, n_k),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            # NOT ("parallel", ...): the quant scratch is written at grid
+            # step (0,0) and read by every later step, so a megacore
+            # split over the N tiles would read uninitialized scratch
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, *[planes[nm] for nm in names])
+
+
 def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int,
                  k_total: int):
     spec = SPECS[qtype]
@@ -549,8 +706,17 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
                             break
             if x.dtype not in (jnp.bfloat16, jnp.float32):
                 x = x.astype(jnp.float32)
-            out = _qmm_int8_call(x, qt.planes, qtype=qt.qtype, n=n, k=k,
-                                 tn=tn8, kc=kc8, interpret=interpret)
+            # in-kernel activation quant: fold the XLA prologue (~3 us
+            # per call, tools/decode_roofline) into the Pallas launch.
+            # TPULAMM_INT8_INKQ=0 restores the XLA-prologue path for A/B.
+            if os.environ.get("TPULAMM_INT8_INKQ", "0") != "0":
+                out = _qmm_int8_call_inkq(x, qt.planes, qtype=qt.qtype,
+                                          n=n, k=k, tn=tn8, kc=kc8,
+                                          interpret=interpret)
+            else:
+                out = _qmm_int8_call(x, qt.planes, qtype=qt.qtype, n=n,
+                                     k=k, tn=tn8, kc=kc8,
+                                     interpret=interpret)
             return out[:m]
 
     if tn is None:

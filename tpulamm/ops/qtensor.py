@@ -93,6 +93,16 @@ class QTensor:
         return QTensor(qtype=first.qtype, shape=(n, first.shape[1]),
                        layout="mm", planes=planes)
 
+    def slice_n(self, lo: int, hi: int) -> "QTensor":
+        """Slice along N (planes carry N as the LAST axis; quant blocks
+        run along K, so every N range is block-aligned). Used to build
+        shard-interleaved fusions: concat_n over per-shard slices so an
+        even tp-split of the fused tensor lands [q_i|k_i|v_i] locally."""
+        assert self.layout == "mm" and 0 <= lo < hi <= self.shape[0]
+        planes = {name: p[..., lo:hi] for name, p in self.planes.items()}
+        return QTensor(qtype=self.qtype, shape=(hi - lo, self.shape[1]),
+                       layout="mm", planes=planes)
+
     def pad_n(self, n_new: int) -> "QTensor":
         """Zero-pad along N. Padded rows dequantize to exactly 0 (their
         scales are 0), so callers can slice the matmul output back down.

@@ -74,13 +74,14 @@ def _repl_spec(x):
 
 # per-layer weight name -> orientation. COL = output features (N) on tp,
 # ROW = input features (K) on tp (the matmul result is a tp-psum).
-_COL_W = ("wq", "w_gate", "w_up")
+# wqkv_fused/wgateup_fused are SHARD-INTERLEAVED under tp (engine
+# _fuse_projections): an even N-split over tp lands [q_i|k_i|v_i] /
+# [gate_i|up_i] on shard i, so they spec as plain col weights.
+_COL_W = ("wq", "w_gate", "w_up", "wqkv_fused", "wgateup_fused")
 _KV_W = ("wk", "wv")
 _ROW_W = ("wo", "w_down")
-_COL_B = ("bq", "b_gate", "b_up", "ffn_act_scales")
+_COL_B = ("bq", "b_gate", "b_up", "ffn_act_scales", "bqkv_fused")
 _KV_B = ("bk", "bv")
-# wqkv_fused/wgateup_fused never exist under tp>1 (the Engine skips fusion:
-# a contiguous N-shard of the concat would cross the q/k/v boundary).
 # Everything else in a layer (norms, qk-norm planes, router, ssm_* mamba
 # tensors) is replicated.
 

@@ -136,15 +136,10 @@ class Engine:
                                         dtype=kd or jnp.bfloat16,
                                         dtype_v=vd or jnp.bfloat16,
                                         qtype_k=qk, qtype_v=qv)
-            if flash_attn and self.cache.quantized:
-                # loud, like the reference's inverse check (quantized KV
-                # requires -fa there): our fused kernel reads float K/V,
-                # so an explicit flash request can't be honored with q8_0
-                raise ValueError(
-                    "flash_attn=True is incompatible with a quantized "
-                    "(q8_0) KV cache: attention uses the einsum path with "
-                    "in-plane scale folding; drop flash_attn or use a "
-                    "float -ctk/-ctv")
+            # flash + q8_0 KV is supported: the kernel folds the per-row
+            # scales into score columns / p in-kernel (the configuration
+            # long contexts actually need — flash's streaming softmax plus
+            # the 1-byte/elem cache)
         # host-side per-slot state (reference: llama_kv_cache cells/head);
         # cell_pos mirrors the device-side cache.pos so cell allocation
         # (llama_kv_cache_find_slot, llama.cpp:2207) never needs a device sync
@@ -291,8 +286,14 @@ class Engine:
         layers = self.params.get("layers", [])
         if self.tp > 1 and layers:
             lyr, specs = layers[0], self._pspecs["layers"][0]
-            row_attn = _row_mode(lyr, specs, "wo", "wq")
-            gate_key = "w_gate" if lyr.get("w_gate") is not None else "w_up"
+            qcol = ("wqkv_fused" if lyr.get("wqkv_fused") is not None
+                    else "wq")
+            row_attn = _row_mode(lyr, specs, "wo", qcol)
+            if lyr.get("wgateup_fused") is not None:
+                gate_key = "wgateup_fused"
+            else:
+                gate_key = ("w_gate" if lyr.get("w_gate") is not None
+                            else "w_up")
             row_ffn = _row_mode(lyr, specs, "w_down", gate_key)
             if lyr.get("ffn_down_exp") is not None:
                 dspec = self._pspecs["layers"][0]["ffn_down_exp"][0]
@@ -333,10 +334,12 @@ class Engine:
         tn=256 (250 grid steps/call); padding to a 1024 multiple cuts that
         4x. forward() slices the logits back to vocab_size.
 
-        Under tensor parallelism (tp > 1) QKV/gate-up fusion is skipped: a
-        contiguous N-shard of the concatenated tensor would cross the
-        q/k/v (or gate/up) boundary, breaking the head-aligned megatron
-        layout. The per-projection matmuls are tp-wide there anyway."""
+        Under tensor parallelism (tp > 1) the fusion is SHARD-INTERLEAVED:
+        concat_n over per-shard slices ([q_0|k_0|v_0|q_1|k_1|v_1|...]) so
+        an even tp-split of the fused planes lands exactly [q_i|k_i|v_i]
+        on shard i — the step body's split by cfg_step's LOCAL head counts
+        (transformer.py:133-139) then works unchanged, and mesh decode
+        pays 4 kernel launches per layer like tp=1 instead of 7."""
         from tpulamm.ops.qtensor import QTensor
         out_w = self.params.get("output")
         # pad quantum: 1024 (tiling), and under tp also tp*128 so each
@@ -350,33 +353,65 @@ class Engine:
                 b = self.params["output_b"]
                 self.params["output_b"] = jnp.pad(
                     b, (0, n_pad - b.shape[0]))
-        if self.tp > 1:
-            return
+        tp = self.tp
+
+        def fusable(ws) -> bool:
+            if not all(isinstance(w, QTensor) and w.layout == "mm"
+                       for w in ws):
+                return False
+            if len({w.qtype for w in ws}) != 1:
+                return False
+            if tp <= 1:
+                return True
+            # shard-interleaved fusion: every part must split evenly over
+            # tp, and each local shard must still tile on the MXU
+            if any(w.shape[0] % tp for w in ws):
+                return False
+            return sum(w.shape[0] for w in ws) // tp % 128 == 0
+
+        def fuse(ws):
+            """concat_n at tp=1; shard-interleaved concat_n under tp."""
+            if tp <= 1:
+                return QTensor.concat_n(ws)
+            parts = []
+            for s in range(tp):
+                for w in ws:
+                    step = w.shape[0] // tp
+                    parts.append(w.slice_n(s * step, (s + 1) * step))
+            return QTensor.concat_n(parts)
+
+        def fuse_bias(bs, ws):
+            import jax.numpy as _jnp
+            bs = [b if b is not None
+                  else _jnp.zeros((w.shape[0],), _jnp.float32)
+                  for b, w in zip(bs, ws)]
+            if tp <= 1:
+                return _jnp.concatenate(bs)
+            parts = []
+            for s in range(tp):
+                for b in bs:
+                    step = b.shape[0] // tp
+                    parts.append(b[s * step:(s + 1) * step])
+            return _jnp.concatenate(parts)
+
         for layer in self.params.get("layers", []):
             ws = [layer.get(k) for k in ("wq", "wk", "wv")]
-            if (all(isinstance(w, QTensor) and w.layout == "mm" for w in ws)
-                    and len({w.qtype for w in ws}) == 1
-                    and not self.cfg.qk_norm):
-                layer["wqkv_fused"] = QTensor.concat_n(ws)
+            if fusable(ws) and not self.cfg.qk_norm:
+                layer["wqkv_fused"] = fuse(ws)
                 if any(layer.get(b) is not None
                        for b in ("bq", "bk", "bv")):
-                    import jax.numpy as _jnp
                     bs = [layer.get(b) for b in ("bq", "bk", "bv")]
-                    bs = [b if b is not None
-                          else _jnp.zeros((w.shape[0],), _jnp.float32)
-                          for b, w in zip(bs, ws)]
-                    layer["bqkv_fused"] = _jnp.concatenate(bs)
+                    layer["bqkv_fused"] = fuse_bias(bs, ws)
                 # drop the unfused tensors: keeping both would double the
                 # HBM footprint of most of the model's weights
                 for key in ("wq", "wk", "wv", "bq", "bk", "bv"):
                     layer.pop(key, None)
             gu = [layer.get("w_gate"), layer.get("w_up")]
-            if (all(isinstance(w, QTensor) and w.layout == "mm" for w in gu)
-                    and gu[0].qtype == gu[1].qtype
+            if (fusable(gu)
                     and gu[0].shape == gu[1].shape
                     and layer.get("b_gate") is None
                     and layer.get("b_up") is None):
-                layer["wgateup_fused"] = QTensor.concat_n(gu)
+                layer["wgateup_fused"] = fuse(gu)
                 layer.pop("w_gate", None)
                 layer.pop("w_up", None)
 

@@ -604,13 +604,25 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
 
 def _build_lookup_scan_multi(target: Engine, n_rows: int, n_draft: int,
                              max_steps: int, ngram_min: int, ngram_max: int,
-                             span_t: int | None = None):
+                             span_t: int | None = None, greedy: bool = True,
+                             top_k: int = 40):
     """Multi-slot prompt-lookup speculation: every ACTIVE slot drafts from
     its own history and ONE (n_rows, 1+k) compound forward verifies all of
-    them per step — the serving extension of _build_lookup_scan (greedy
-    only). Slots freeze independently (eos / budget / context) while the
-    loop keeps verifying the rest. n_rows may be the engine's active-slot
-    compaction bucket (Engine._b_rows) rather than n_slots."""
+    them per step — the serving extension of _build_lookup_scan. Slots
+    freeze independently (eos / budget / context) while the loop keeps
+    verifying the rest. n_rows may be the engine's active-slot compaction
+    bucket (Engine._b_rows) rather than n_slots.
+
+    greedy=False: TEMPERATURE verify with exact acceptance. Lookup drafts
+    are deterministic tokens (no draft distribution), so the exact
+    speculative rule degenerates to token matching: sample
+    t_j ~ p(.|prefix, draft[:j]) per position with the slot's temp/top_k
+    (Engine._sample_next — the same sampler the plain fast path uses,
+    so distribution parity is by construction), accept while t_j equals
+    the draft, and the first mismatch's SAMPLE is the emitted correction.
+    Every emitted token is therefore drawn from the true conditional —
+    the reference's stochastic-acceptance goal (speculative.cpp:180-260)
+    for the degenerate point-mass draft case."""
     import jax
     import jax.numpy as jnp
 
@@ -644,9 +656,11 @@ def _build_lookup_scan_multi(target: Engine, n_rows: int, n_draft: int,
             found = found | hit
         return h, cand
 
-    def run(params_t, cache_t, h, tok, pos, active0, eos_id, budgets):
+    def run(params_t, cache_t, h, tok, pos, active0, eos_id, budgets,
+            key, temps):
         """h: (B, H); tok/pos: (B,); active0: (B,) bool; budgets: (B,)
-        remaining n_predict per slot."""
+        remaining n_predict per slot; key: PRNGKey, temps: (B,) f32
+        (both ignored when greedy)."""
         rows0 = jnp.full((max_steps, B, k + 1), -1, jnp.int32)
         accs0 = jnp.zeros((max_steps, B), jnp.int32)
 
@@ -668,7 +682,16 @@ def _build_lookup_scan_multi(target: Engine, n_rows: int, n_draft: int,
             logits, cache_t = fwd_t(params_t, cfg_t, tokt, post, cache_t,
                                     None, cellt, kv_span=span_t)
             lg = logits[:, :, :Vt]                       # (B, k+1, V)
-            tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            if greedy:
+                tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            else:
+                ki = jax.random.fold_in(key, i)
+                subs = jax.random.split(ki, B * (k + 1)).reshape(
+                    B, k + 1, -1)
+                tgt = jax.vmap(lambda ls, ss, tb: jax.vmap(
+                    lambda l, s: Engine._sample_next(
+                        l, s, tb, top_k, False)[1])(ls, ss))(
+                    lg, subs, temps)
 
             match = tgt[:, :k] == drafts                 # (B, k)
             n_acc = jnp.where(match.all(axis=1), k,

@@ -565,11 +565,15 @@ class Scheduler(threading.Thread):
         self._emit_generated(i, block)
         return True
 
-    def _run_lookup_block_multi(self, active: dict[int, int]) -> bool:
+    def _run_lookup_block_multi(self, active: dict[int, int],
+                                greedy: bool = True) -> bool:
         """Multi-slot speculative serving: every active slot drafts by
         prompt lookup and one (B, 1+k) compound step verifies all of them
-        (the batched-verify extension of _run_lookup_block). Greedy-exact
-        per slot; False -> caller falls back to plain blocks."""
+        (the batched-verify extension of _run_lookup_block). greedy=False
+        runs temperature verify with exact per-token acceptance (sampled
+        via Engine._sample_next per slot/position — distribution parity
+        with the plain sampled path by construction). False -> caller
+        falls back to plain blocks."""
         import jax
         import jax.numpy as jnp
 
@@ -578,6 +582,14 @@ class Scheduler(threading.Thread):
         if eng.recurrent or eng.mesh is not None:
             return False
         k = self.LOOKUP_DRAFT
+        top_k = 0
+        if not greedy:
+            # _sample_next's top_k is a static build parameter: the tier
+            # requires one shared value across the batch
+            tks = {self.slots[i].req.params.top_k for i in active}
+            if len(tks) != 1:
+                return False
+            top_k = tks.pop()
         for i in active:
             n = int(eng.n_past[i])
             slot = self.slots[i]
@@ -591,10 +603,12 @@ class Scheduler(threading.Thread):
         if scans is None:
             scans = eng._spec_scans = {}
         span = eng._kv_span(self.LOOKUP_STEPS * (k + 1) + 2 * k + 2)
-        key = ("srv-lookup-multi", B, k, self.LOOKUP_STEPS, span)
+        key = ("srv-lookup-multi", B, k, self.LOOKUP_STEPS, span,
+               greedy, top_k)
         if key not in scans:
             scans[key] = _build_lookup_scan_multi(
-                eng, B, k, self.LOOKUP_STEPS, 1, 4, span_t=span)
+                eng, B, k, self.LOOKUP_STEPS, 1, 4, span_t=span,
+                greedy=greedy, top_k=top_k)
         H = eng.n_ctx + k + 2
         h = np.full((B, H), -1, np.int32)
         tok = np.zeros(B, np.int32)
@@ -602,7 +616,10 @@ class Scheduler(threading.Thread):
         act = np.zeros(B, bool)
         eosv = np.full(B, -1, np.int32)
         budgets = np.zeros(B, np.int32)
+        temps = np.zeros(B, np.float32)
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        self._block_counter += 1
+        seed = self._block_counter * 1000003
         for i, carry in active.items():
             slot = self.slots[i]
             n = int(eng.n_past[i])
@@ -612,10 +629,14 @@ class Scheduler(threading.Thread):
             act[i] = True
             eosv[i] = eos if not slot.req.params.ignore_eos else -1
             budgets[i] = max(slot.req.n_predict - slot.n_gen, 1)
+            temps[i] = max(slot.req.params.temp, 0.0)
+            seed ^= (slot.req.params.seed + 0x9E3779B9 * (i + 1)) \
+                & 0x7FFFFFFF
         rows, accs, n_steps, posv, emitted, eng.cache = scans[key](
             eng.params, eng.cache, jnp.asarray(h), jnp.asarray(tok),
             jnp.asarray(pos), jnp.asarray(act), jnp.asarray(eosv),
-            jnp.asarray(budgets))
+            jnp.asarray(budgets), jax.random.PRNGKey(seed),
+            jnp.asarray(temps))
         rows, accs, n_steps, posv, emitted = jax.device_get(
             (rows, accs, n_steps, posv, emitted))  # one round-trip
         n_steps = int(n_steps)
@@ -704,14 +725,19 @@ class Scheduler(threading.Thread):
                     and all(self.slots[i].sampler.grammar is None
                             and not self.slots[i].req.stop_strs
                             and self.slots[i].req.params.n_probs == 0
-                            and self.slots[i].req.params.temp <= 0.0
                             and self._fast_eligible(self.slots[i].req.params)
                             for i in active)):
-                if len(active) == 1:
+                greedy = all(self.slots[i].req.params.temp <= 0.0
+                             for i in active)
+                if greedy and len(active) == 1:
                     i = next(iter(active))
                     ok = self._run_lookup_block(i, active[i])
                 else:
-                    ok = self._run_lookup_block_multi(active)
+                    # temperature requests run the batched verify with
+                    # exact sampled acceptance (any mix of greedy and
+                    # sampled slots; greedy slots get temp 0 rows)
+                    ok = self._run_lookup_block_multi(active,
+                                                      greedy=greedy)
                 if ok:
                     with self.metrics.lock:
                         self.metrics.fast_blocks += 1
@@ -1089,11 +1115,38 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           n_slots: int = 4, n_ctx: int = 2048, compute_dtype=None,
           started: threading.Event | None = None, tp: int = 1, dp: int = 1,
           cache_type_k="bfloat16", cache_type_v=None,
-          lookup_decoding: bool = False, system_prompt: str | None = None):
+          lookup_decoding: bool = False, system_prompt: str | None = None,
+          broadcast: tuple[str, int] | None = None):
+    """broadcast=(host, port): multi-host serving transport. Process 0
+    accepts process_count-1 workers on `port`, wraps the engine so every
+    engine call replicates to them, and serves HTTP as usual; worker
+    processes connect to process-0's `host:port` and apply the call
+    stream (see server.multihost). Every process must reach this function
+    with identical model/mesh arguments."""
     from tpulamm.runtime.engine import Engine
     engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
                     compute_dtype=compute_dtype, tp=tp, dp=dp,
                     kv_dtype=cache_type_k, kv_dtype_v=cache_type_v)
+    if broadcast is not None:
+        import jax
+        from tpulamm.server.multihost import (CallBroadcaster,
+                                              MirroredEngine,
+                                              connect_worker, worker_loop)
+        bhost, bport = broadcast
+        if lookup_decoding:
+            # the lookup tier drives jitted scans directly (not through
+            # Engine methods) and cannot replicate across processes
+            print("multi-host serving: --lookup-decoding disabled",
+                  flush=True)
+            lookup_decoding = False
+        if jax.process_index() != 0:
+            sock = connect_worker(bhost, bport)
+            print(f"worker {jax.process_index()}: applying engine calls "
+                  f"from {bhost}:{bport}", flush=True)
+            worker_loop(engine, sock)
+            return
+        tx = CallBroadcaster(bport, jax.process_count() - 1)
+        engine = MirroredEngine(engine, tx)
     sched = Scheduler(engine, n_slots, lookup_decoding=lookup_decoding)
     sched.engine = engine
     if system_prompt:
@@ -1125,6 +1178,10 @@ def main(argv=None):
                    help="data-parallel (slot-sharding) mesh dimension")
     from tpulamm.parallel.distributed import add_distributed_args
     add_distributed_args(p)
+    p.add_argument("--broadcast-port", type=int, default=None,
+                   help="multi-host serving: TCP port on process 0 for "
+                        "the engine-call broadcast channel (default: "
+                        "HTTP port + 1000)")
     p.add_argument("-ctk", "--cache-type-k", default="bfloat16",
                    choices=KV_CACHE_TYPES)
     p.add_argument("-ctv", "--cache-type-v", default=None,
@@ -1142,15 +1199,17 @@ def main(argv=None):
     logm.log(f"args: {vars(args)}")
     from tpulamm.parallel.distributed import init_from_args
     info = init_from_args(args)    # before the first jax backend use
+    broadcast = None
     if info is not None and info["process_count"] > 1:
-        # HTTP request intake is process-local; a multi-controller server
-        # needs every process to step the same batches, i.e. a broadcast
-        # transport between the frontend and the SPMD workers (SURVEY
-        # §7.2.5 stretch). Engines + benches support multi-host today.
-        raise SystemExit(
-            "tpulamm-server does not yet broadcast requests across "
-            "processes; run the server single-host (multi-host engines "
-            "are supported via cli.main / cli.bench)")
+        # multi-host serving: process 0 keeps the HTTP frontend and
+        # mirrors every engine call to the other processes over a TCP
+        # side channel (server.multihost); workers apply the identical
+        # call stream so every jitted step is a valid SPMD program over
+        # the global mesh. Worker address = the coordinator host.
+        bhost = (args.coordinator.rsplit(":", 1)[0]
+                 if args.coordinator else "127.0.0.1")
+        bport = args.broadcast_port or args.port + 1000
+        broadcast = (bhost, bport)
     system_prompt = None
     if args.system_prompt_file:
         with open(args.system_prompt_file, errors="replace") as f:
@@ -1160,7 +1219,7 @@ def main(argv=None):
           tp=args.tp, dp=args.dp,
           cache_type_k=args.cache_type_k, cache_type_v=args.cache_type_v,
           lookup_decoding=args.lookup_decoding,
-          system_prompt=system_prompt)
+          system_prompt=system_prompt, broadcast=broadcast)
 
 
 if __name__ == "__main__":

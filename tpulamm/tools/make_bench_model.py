@@ -115,6 +115,85 @@ def build_tiny11b(out_dir: str, formats: list[str]) -> None:
         print(f"linked {dst}", file=sys.stderr)
 
 
+class LazySD:
+    """Mapping that synthesizes random-weight tensors on demand, so a
+    13B/30B f32 state dict (52/130 GB if materialized) never exists in
+    RAM — the converter reads one tensor at a time, quantizes it, and the
+    f32 source is freed. Deterministic per tensor name (crc32-keyed
+    stream), independent of access order."""
+
+    def __init__(self, specs: dict, seed: int):
+        self.specs = specs        # name -> (shape, std|None)
+        self.seed = seed
+
+    def __contains__(self, k) -> bool:
+        return k in self.specs
+
+    def __getitem__(self, k) -> np.ndarray:
+        import zlib
+        shape, std = self.specs[k]
+        if std is None:                              # norm weights
+            return np.ones(shape, np.float32)
+        rng = np.random.default_rng((self.seed, zlib.crc32(k.encode())))
+        return rng.standard_normal(shape, dtype=np.float32) * std
+
+
+def make_llama_lazy_sd(dim: int, n_ff: int, n_layers: int, n_head: int,
+                       n_kv: int, n_vocab: int, seed: int) -> tuple:
+    """LazySD twin of make_llama_sd (same shapes/stds, streamed)."""
+    hd = dim // n_head
+    res = 0.02 / np.sqrt(2 * n_layers)
+    specs = {"model.embed_tokens.weight": ((n_vocab, dim), 0.02),
+             "model.norm.weight": ((dim,), None),
+             "lm_head.weight": ((n_vocab, dim), 0.02)}
+    for i in range(n_layers):
+        h = f"model.layers.{i}."
+        specs[h + "input_layernorm.weight"] = ((dim,), None)
+        specs[h + "post_attention_layernorm.weight"] = ((dim,), None)
+        specs[h + "self_attn.q_proj.weight"] = ((n_head * hd, dim), 0.02)
+        specs[h + "self_attn.k_proj.weight"] = ((n_kv * hd, dim), 0.02)
+        specs[h + "self_attn.v_proj.weight"] = ((n_kv * hd, dim), 0.02)
+        specs[h + "self_attn.o_proj.weight"] = ((dim, n_head * hd), res)
+        specs[h + "mlp.gate_proj.weight"] = ((n_ff, dim), 0.02)
+        specs[h + "mlp.up_proj.weight"] = ((n_ff, dim), 0.02)
+        specs[h + "mlp.down_proj.weight"] = ((dim, n_ff), res)
+    cfg = SimpleNamespace(
+        vocab_size=n_vocab, hidden_size=dim, intermediate_size=n_ff,
+        num_hidden_layers=n_layers, num_attention_heads=n_head,
+        num_key_value_heads=n_kv, max_position_embeddings=2048,
+        rms_norm_eps=1e-5, rope_theta=10000.0, name_or_path="bench",
+        num_local_experts=0)
+    return LazySD(specs, seed), cfg
+
+
+def build_llama13b(out_dir: str, formats: list[str]) -> None:
+    """LLaMA-13B shape (dim 5120, ffn 13824, 40 layers, MHA) — reference
+    scale row README.md:716 (13B Q4_0 tg 2.66 on the 3A6000)."""
+    from tpulamm.tools.convert_hf import convert_hf_llama
+    sd, cfg = make_llama_lazy_sd(dim=5120, n_ff=13824, n_layers=40,
+                                 n_head=40, n_kv=40, n_vocab=32000, seed=13)
+    for fmt in formats:
+        path = os.path.join(out_dir, f"llama13b_{fmt}.gguf")
+        t0 = time.time()
+        convert_hf_llama(sd, cfg, path, qtype=getattr(GGMLType, fmt.upper()))
+        print(f"wrote {path} ({os.path.getsize(path) / 1e6:.0f} MB, "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr)
+
+
+def build_llama30b(out_dir: str, formats: list[str]) -> None:
+    """LLaMA-30B shape (dim 6656, ffn 17920, 60 layers, 52 heads, MHA) —
+    reference scale row README.md:721 (30B Q2_K tg 0.34)."""
+    from tpulamm.tools.convert_hf import convert_hf_llama
+    sd, cfg = make_llama_lazy_sd(dim=6656, n_ff=17920, n_layers=60,
+                                 n_head=52, n_kv=52, n_vocab=32000, seed=30)
+    for fmt in formats:
+        path = os.path.join(out_dir, f"llama30b_{fmt}.gguf")
+        t0 = time.time()
+        convert_hf_llama(sd, cfg, path, qtype=getattr(GGMLType, fmt.upper()))
+        print(f"wrote {path} ({os.path.getsize(path) / 1e6:.0f} MB, "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr)
+
+
 def build_llama7b(out_dir: str, formats: list[str]) -> None:
     """LLaMA-7B shape (dim 4096, ffn 11008, 32 layers, 32 heads, MHA) —
     the reference's headline model size (README.md:684,710)."""
@@ -208,6 +287,10 @@ def main(argv=None) -> int:
         build_tiny11b(args.out, fmts)
     if "llama7b" in targets:
         build_llama7b(args.out, fmts)
+    if "llama13b" in targets:
+        build_llama13b(args.out, fmts)
+    if "llama30b" in targets:
+        build_llama30b(args.out, fmts)
     if "llava" in targets:
         build_llava_lm(args.out)
     if "padtest" in targets:
