@@ -139,3 +139,22 @@ def test_mesh_session_save_load(model_path, tmp_path):
     after = eng2.decode_one(0, 9)
     want = eng.decode_one(0, 9)
     np.testing.assert_allclose(after, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_layer_keeps_w_down_row_sharded(model_path):
+    """Under tp>1 with gate/up fused (wgateup_fused replaces w_gate/w_up),
+    w_down must STAY K-sharded — the partner-coupling rule has to see the
+    fused tensor, or w_down silently replicates (tp x HBM + full-matrix
+    compute per shard; review finding r4)."""
+    eng = Engine(model_path, n_ctx=64, tp=2)
+    lyr = eng.params["layers"][0]
+    assert lyr.get("wgateup_fused") is not None      # fusion fired
+    assert lyr.get("wqkv_fused") is not None
+    spec = eng._pspecs["layers"][0]["w_down"]
+    # every mm plane of w_down carries K first: sharded means axis 0 = tp
+    assert all(p[0] == "tp" for p in spec.planes.values()), spec.planes
+    assert eng.cfg_step.row_ffn == "psum"
+    # wo's K=256 is under the 256*tp K-shard quantum on this tiny model,
+    # so attention legitimately uses the gather mode — but it must SEE
+    # the fused QKV as its col partner (not "none")
+    assert eng.cfg_step.row_attn == "gather"

@@ -653,7 +653,12 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         # unpack) — calibrated by what actually compiles AND wins on v5e
         # (flagship M=128 Q4_0: tn=2048/kc=2 f32 = 153 TFLOPS).
         per_elem = 5 if wb == 2 else 6
-        need = per_elem * tk * tn_ + m_pad * tn_ * 4 + m_pad * tk * 4
+        # out and x slabs are pipeline DOUBLE-BUFFERED (out blocks swap
+        # across N tiles, x blocks across K steps) — omitting the 2x let
+        # M=2048 prefill ubatches pick tn=1024 and OOM the 16MB scoped
+        # VMEM stack at 18.3M (first seen driving n_ubatch=2048 on 7B)
+        need = per_elem * tk * tn_ + 2 * m_pad * tn_ * 4 \
+            + 2 * m_pad * tk * 4
         return need <= int(12.5 * 2 ** 20)
 
     gemv = m_pad <= 16

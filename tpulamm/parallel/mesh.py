@@ -137,8 +137,14 @@ def _n_ok(w, tp: int) -> bool:
 def _layer_pspecs(lyr: dict, tp: int, col, row, bias) -> dict:
     # partner coupling: wo pairs with wq (always sharded when the Engine
     # validated n_heads % tp); w_down pairs with w_gate/w_up
-    gate = lyr.get("w_gate") if lyr.get("w_gate") is not None \
-        else lyr.get("w_up")
+    # partner coupling must see the FUSED gate tensor when the engine's
+    # fusion pass already popped w_gate/w_up (tp-interleaved fusion) —
+    # otherwise w_down silently loses its K-shard and every tp shard
+    # duplicates + fully recomputes the largest FFN weight
+    gate = lyr.get("wgateup_fused")
+    if gate is None:
+        gate = lyr.get("w_gate") if lyr.get("w_gate") is not None \
+            else lyr.get("w_up")
     gate_ok = gate is not None and _n_ok(gate, tp)
     exps = (lyr.get("ffn_gate_exp") or lyr.get("ffn_up_exp") or [None])
     exp_ok = exps[0] is not None and _n_ok(exps[0], tp)

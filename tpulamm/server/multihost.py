@@ -48,6 +48,11 @@ MIRRORED = (
     "seq_cp", "seq_rm", "seq_add", "seq_div", "move_slot", "embed",
 )
 _STOP = "__stop__"
+# connection handshake: rejects accidental/foreign connections grabbing a
+# worker slot. The channel otherwise trusts the pod network — the same
+# assumption jax.distributed's own (unauthenticated) coordination service
+# makes; do not expose the broadcast port beyond the cluster fabric.
+_MAGIC = b"tpulamm-mh1\n"
 
 
 def _send_frame(sock: socket.socket, payload: bytes) -> None:
@@ -78,12 +83,19 @@ class CallBroadcaster:
                  timeout: float = 120.0):
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        srv.bind((host or "0.0.0.0", port))
+        # bind the coordinator interface specifically, not 0.0.0.0
+        srv.bind((host or "127.0.0.1", port))
         srv.listen(n_workers)
         srv.settimeout(timeout)
         self.conns = []
-        for _ in range(n_workers):
-            conn, _addr = srv.accept()
+        while len(self.conns) < n_workers:
+            conn, addr = srv.accept()
+            conn.settimeout(timeout)
+            hello = conn.recv(len(_MAGIC))
+            if hello != _MAGIC:      # not a tpulamm worker: drop, re-wait
+                conn.close()
+                continue
+            conn.settimeout(None)
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self.conns.append(conn)
         srv.close()
@@ -146,6 +158,7 @@ def connect_worker(host: str, port: int, attempts: int = 120,
     for _ in range(attempts):
         try:
             s = socket.create_connection((host, port), timeout=10)
+            s.sendall(_MAGIC)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             s.settimeout(None)
             return s
@@ -158,6 +171,7 @@ def connect_worker(host: str, port: int, attempts: int = 120,
 def worker_loop(engine, sock: socket.socket) -> None:
     """Apply process 0's engine-call stream to the local Engine. Returns
     on a stop frame or when the frontend closes the channel (EOF)."""
+    import sys
     while True:
         payload = _recv_frame(sock)
         if payload is None:
@@ -165,4 +179,14 @@ def worker_loop(engine, sock: socket.socket) -> None:
         method, args, kwargs = pickle.loads(payload)
         if method == _STOP:
             return
-        getattr(engine, method)(*args, **kwargs)
+        try:
+            getattr(engine, method)(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — mirror the frontend's
+            # fallback contract: some engine calls raise as part of
+            # normal scheduling (e.g. decode_batch_fast's n_ctx-overflow
+            # pre-validation, which the scheduler catches and routes to
+            # the plain path). Those raise identically on process 0
+            # BEFORE any device step, so state stays in lockstep; the
+            # worker must survive them exactly like the frontend does.
+            print(f"worker: {method} raised {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)

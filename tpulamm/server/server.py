@@ -584,9 +584,11 @@ class Scheduler(threading.Thread):
         k = self.LOOKUP_DRAFT
         top_k = 0
         if not greedy:
-            # _sample_next's top_k is a static build parameter: the tier
-            # requires one shared value across the batch
-            tks = {self.slots[i].req.params.top_k for i in active}
+            # _sample_next's top_k is a static build parameter: the
+            # STOCHASTIC slots must agree on it (greedy slots sample at
+            # temp 0 and never consult top_k)
+            tks = {self.slots[i].req.params.top_k for i in active
+                   if self.slots[i].req.params.temp > 0.0}
             if len(tks) != 1:
                 return False
             top_k = tks.pop()

@@ -24,6 +24,19 @@ import time
 FLOOR_MATMUL_GFLOPS = 85_000.0
 FLOOR_TG256 = 450.0
 
+# Per-format floors = min(round-2, round-4 sweep) minus a wide margin
+# (flagship x0.6, tg x0.75): the flagship slope ordering scrambles inside
+# the +-15-20% variance band, so floors must sit under BOTH sweeps.
+# Measured pairs in PERF.md (r2 table / r4 refresh).
+FLOOR_FMT_GFLOPS = {
+    "f32": 50_000, "q4_0": 70_000, "q4_1": 55_000, "q5_0": 66_000,
+    "q5_1": 64_000, "q8_0": 65_000, "q2_k": 65_000,
+}
+FLOOR_FMT_TG256 = {
+    "q4_0": 420.0, "q4_1": 389.0, "q5_0": 324.0, "q5_1": 287.0,
+    "q8_0": 370.0, "q2_k": 293.0,
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpulamm-perf-gate")
@@ -31,9 +44,36 @@ def main(argv=None):
                    help="GGUF for the decode (tg256) gate")
     p.add_argument("--matmul-floor", type=float, default=FLOOR_MATMUL_GFLOPS)
     p.add_argument("--tg-floor", type=float, default=FLOOR_TG256)
+    p.add_argument("--formats", action="store_true",
+                   help="gate the flagship matmul on EVERY quant format "
+                        "(FLOOR_FMT_GFLOPS)")
+    p.add_argument("--e2e-pattern", default=None, metavar="PATH{fmt}",
+                   help="gate per-format tg256 from models at this "
+                        "pattern (FLOOR_FMT_TG256), e.g. "
+                        "tmp_bench/tiny11b_{fmt}.gguf")
     args = p.parse_args(argv)
 
     failures = []
+    if args.formats:
+        from tpulamm.tools.perf_report import bench_matmul
+        for q, floor in FLOOR_FMT_GFLOPS.items():
+            g = bench_matmul(q)
+            print(f"matmul {q}: {g:,.0f} GFLOPS (floor {floor:,.0f})")
+            if g < floor:
+                failures.append(f"matmul {q} {g:,.0f} < floor {floor:,.0f}")
+    if args.e2e_pattern:
+        from tpulamm.tools.perf_report import bench_model
+        for q, floor in FLOOR_FMT_TG256.items():
+            path = args.e2e_pattern.replace("{fmt}", q)
+            import os as _os
+            if not _os.path.isfile(path):
+                failures.append(f"e2e model missing: {path}")
+                continue
+            r = bench_model(path)
+            print(f"tg256 {q}: {r['tg256']:,.1f} tok/s (floor {floor:,.1f})")
+            if r["tg256"] < floor:
+                failures.append(
+                    f"tg256 {q} {r['tg256']:,.1f} < floor {floor:,.1f}")
     import os
     bench = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "..", "..", "bench.py")
