@@ -77,6 +77,80 @@ def test_flash_attention_exact_on_tpu():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_flash_attention_q8_scales_exact_on_tpu():
+    """flash + q8_0 KV (in-kernel scale folds): the interpret-mode parity
+    test can't catch Mosaic block-shape constraints (a (1,1,St) scale
+    block DID lower in interpret and failed on hardware) — this is the
+    real-chip gate."""
+    from tpulamm.ops.flash_attention import (flash_attention,
+                                             flash_attention_ref)
+    rng = np.random.default_rng(3)
+    B, Hkv, T, G, S, hd = 2, 2, 4, 4, 257, 64
+    q = jnp.asarray(rng.normal(size=(B, Hkv, T * G, hd)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, size=(B, Hkv, S, hd)),
+                     jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, size=(B, Hkv, S, hd)),
+                     jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    kpos = np.full((B, S), -1, np.int32)
+    kpos[0, :40] = np.arange(40)
+    kpos[1, :24] = np.arange(24)
+    qbase = jnp.asarray([40, 24], jnp.int32)
+    qlen = jnp.asarray([T, T], jnp.int32)
+    args = dict(scale=0.125, g=G)
+    ref = flash_attention_ref(q, k8, v8, jnp.asarray(kpos), qbase, qlen,
+                              ks, vs, **args)
+    got = flash_attention(q, k8, v8, jnp.asarray(kpos), qbase, qlen,
+                          ks, vs, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_shape_8k_exact_on_tpu():
+    """flash at the LONG-CONTEXT decode shape (TG=1 MHA row, S=8192):
+    NMSE gate vs the golden reference, bf16 and q8_0 caches — separates
+    kernel bugs from the reduction-order token divergence a greedy run
+    on a random-weight model shows at this scale."""
+    from tpulamm.ops.flash_attention import (flash_attention,
+                                             flash_attention_ref)
+    rng = np.random.default_rng(0)
+    B, Hkv, TG, hd, S = 1, 8, 1, 128, 8192
+    q = jnp.asarray(rng.normal(size=(B, Hkv, TG, hd)), jnp.float32)
+    kpos = np.full((B, S), -1, np.int32)
+    kpos[0, :S - 7] = np.arange(S - 7)
+    qbase = jnp.asarray([S - 7], jnp.int32)
+    qlen = jnp.asarray([1], jnp.int32)
+    args = dict(scale=float(1 / np.sqrt(hd)), g=1)
+
+    def nmse(got, ref):
+        got, ref = np.asarray(got, np.float64), np.asarray(ref, np.float64)
+        return ((got - ref) ** 2).sum() / max(1e-12, (ref ** 2).sum())
+
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, hd)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, hd)) * 0.3, jnp.bfloat16)
+    ref = flash_attention_ref(q, k, v, jnp.asarray(kpos), qbase, qlen,
+                              **args)
+    got = flash_attention(q, k, v, jnp.asarray(kpos), qbase, qlen, **args)
+    assert nmse(got, ref) < 1e-4
+
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, size=(B, Hkv, S, hd)),
+                     jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, size=(B, Hkv, S, hd)),
+                     jnp.int8)
+    ref = flash_attention_ref(q, k8, v8, jnp.asarray(kpos), qbase, qlen,
+                              ks, vs, **args)
+    got = flash_attention(q, k8, v8, jnp.asarray(kpos), qbase, qlen,
+                          ks, vs, **args)
+    assert nmse(got, ref) < 1e-4
+
+
 @pytest.mark.parametrize("qtype", QTYPES, ids=lambda q: q.name)
 def test_int8_dot_exact_on_tpu(qtype, monkeypatch):
     """int8-activation MXU path vs a numpy integer simulation of the same

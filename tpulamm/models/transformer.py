@@ -206,8 +206,14 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     # XLA-fused einsum wins until the KV span is long (tg256: einsum 441
     # vs flash 376 t/s at S=2049 — crossover around S~6k).
     S_cache = kc.shape[2]          # span-aware: the real workload size
+    # decode-side flash additionally requires enough query rows to fill
+    # MXU sublanes: at T*G < 8 the kernel degenerates to (8, hd) tiles
+    # with one live row across Hkv x S-tiles grid steps — measured on the
+    # 7B (MHA, G=1) at S=8192: flash 28.3 vs einsum 130.5 t/s. The GQA
+    # 1.1B (G=8) keeps its measured ~6k crossover.
     auto = jax.default_backend() == "tpu" and (
-        (T >= 64 and S_cache >= 1024) or S_cache >= 6144)
+        (T >= 64 and S_cache >= 1024)
+        or (S_cache >= 6144 and T * group >= 8))
     # quantized (q8_0) caches work on BOTH paths: einsum folds the per-row
     # scales into the score/prob tensors; the flash kernel folds them
     # in-kernel (ks into score columns, vs into p) — either way the cache

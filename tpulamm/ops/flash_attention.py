@@ -44,12 +44,14 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
             q_ref, k_ref, v_ref, kpos_ref,  # VMEM tiles
             *refs,                           # [ks_ref] [vs_ref] out scratch
             scale: float, g: int, tg_t: int, s_t: int, s_total: int,
-            causal: bool, compute_dtype, has_ks: bool, has_vs: bool):
+            causal: bool, compute_dtype, has_ks: bool, has_vs: bool,
+            hkv: int):
     refs = list(refs)
     ks_ref = refs.pop(0) if has_ks else None
     vs_ref = refs.pop(0) if has_vs else None
     out_ref, acc_ref, m_ref, l_ref = refs
     b = pl.program_id(0)
+    h = pl.program_id(1)
     i = pl.program_id(2)                    # TG tile
     j = pl.program_id(3)                    # S tile (innermost, arbitrary)
 
@@ -68,7 +70,10 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
         # q8_0 K cache: codes were dotted raw; fold the per-key-row scale
         # into the score columns ((q . k_i8) * ks == q . k_dequant). Tail
         # garbage becomes NaN here and dies in the live-mask where below.
-        s = s * ks_ref[0, 0][None, :]
+        # Scale planes arrive flattened (B*Hkv, S) and blocked over ALL
+        # rows (a (1,1,St) block would break the sublane-divisibility
+        # rule); ref-slice this (b, h)'s row like kpos below.
+        s = s * ks_ref[pl.ds(b * hkv + h, 1), :]
 
     # kpos block carries ALL batch rows (a (1, St) block would violate the
     # TPU sublane-divisibility rule for B > 1); ref-slice this b's row
@@ -103,7 +108,8 @@ def _kernel(qbase_ref, qlen_ref,            # SMEM scalars (B,)
         # Zero OOB tail scales: p is 0 there but 0 * NaN would poison pv.
         vcol = (jax.lax.broadcasted_iota(jnp.int32, (1, s_t), 1)
                 + j * s_t)
-        vsv = jnp.where(vcol < s_total, vs_ref[0, 0][None, :], 0)
+        vsv = jnp.where(vcol < s_total,
+                        vs_ref[pl.ds(b * hkv + h, 1), :], 0)
         p = p * vsv
     pv = jax.lax.dot_general(p.astype(compute_dtype), v,
                              (((1,), (0,)), ((), ())),
@@ -140,7 +146,7 @@ def flash_attention(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
     kernel = functools.partial(
         _kernel, scale=scale, g=g, tg_t=tg_t, s_t=s_t, s_total=S,
         causal=causal, compute_dtype=jnp.bfloat16,
-        has_ks=ks is not None, has_vs=vs is not None)
+        has_ks=ks is not None, has_vs=vs is not None, hkv=Hkv)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),      # qbase (B,)
@@ -155,12 +161,14 @@ def flash_attention(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
                      memory_space=pltpu.VMEM),
     ]
     inputs = [qbase, qlen, q, k, v, kpos]
-    sc_spec = pl.BlockSpec((1, 1, s_t), lambda b, h, i, j: (b, h, j),
+    # scale planes flatten to (B*Hkv, S): the kernel ref-slices one row
+    # (a (1,1,St) block would violate Mosaic's sublane-divisibility rule)
+    sc_spec = pl.BlockSpec((B * Hkv, s_t), lambda b, h, i, j: (0, j),
                            memory_space=pltpu.VMEM)
     for sc in (ks, vs):
         if sc is not None:
             in_specs.append(sc_spec)
-            inputs.append(sc)
+            inputs.append(sc.reshape(B * Hkv, S))
 
     flops = 4 * B * Hkv * TG * S * hd
     kv_bytes = 2 * B * Hkv * S * hd * k.dtype.itemsize

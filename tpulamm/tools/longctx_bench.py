@@ -59,17 +59,47 @@ def main(argv=None):
     p.add_argument("--ctxs", default="8192")
     p.add_argument("--n-gen", type=int, default=256)
     p.add_argument("--json", default=None)
+    p.add_argument("--one", default=None, metavar="N_CTX,ATTN,KV",
+                   help="internal: run ONE config and print its row as "
+                        "JSON (the main loop shells out per config so "
+                        "each gets a clean HBM — a 16k config after four "
+                        "8k engines otherwise hits RESOURCE_EXHAUSTED)")
     args = p.parse_args(argv)
 
+    if args.one:
+        n_ctx, attn, kv = args.one.split(",")
+        r = bench_cfg(args.model, int(n_ctx), attn == "flash", kv,
+                      n_gen=args.n_gen, parity_tokens=True)
+        print("ROW " + json.dumps(r))
+        return 0
+
+    import os
+    import subprocess
     rows = []
     for n_ctx in (int(c) for c in args.ctxs.split(",")):
         tok_ref = {}
         for flash in (False, True):
             for kv in ("bfloat16", "q8_0"):
-                print(f"-- n_ctx {n_ctx} {'flash' if flash else 'einsum'} "
-                      f"{kv}...", file=sys.stderr)
-                r = bench_cfg(args.model, n_ctx, flash, kv,
-                              n_gen=args.n_gen, parity_tokens=True)
+                name = "flash" if flash else "einsum"
+                print(f"-- n_ctx {n_ctx} {name} {kv}...",
+                      file=sys.stderr, flush=True)
+                out = subprocess.run(
+                    [sys.executable, "-m", "tpulamm.tools.longctx_bench",
+                     "-m", args.model, "--n-gen", str(args.n_gen),
+                     "--one", f"{n_ctx},{name},{kv}"],
+                    capture_output=True, text=True, timeout=7200,
+                    env=dict(os.environ))
+                line = next((ln for ln in out.stdout.splitlines()
+                             if ln.startswith("ROW ")), None)
+                if line is None:
+                    err = out.stderr.strip().splitlines()
+                    msg = err[-1] if err else "no output"
+                    print(f"   FAILED: {msg}", file=sys.stderr, flush=True)
+                    rows.append({"n_ctx": n_ctx, "attn": name, "kv": kv,
+                                 "pp": 0.0, "tg": 0.0,
+                                 "error": msg[:200]})
+                    continue
+                r = json.loads(line[4:])
                 # greedy cross-path parity per KV type: einsum vs flash
                 # must emit identical tokens at the full span
                 keyp = ("tok", n_ctx, kv)
