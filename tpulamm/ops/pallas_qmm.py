@@ -685,27 +685,36 @@ def qmm_pallas(x: jnp.ndarray, qt, *, compute_dtype=jnp.bfloat16,
         # 0.0058 mean / top-1 95.3% on a trained 30M Q4_0, ~8x below the
         # Q4_0 weight error itself (PERF.md). TPULAMM_INT8_DOT=0 restores
         # the exact-dequant f32 path.
-        # Tile rules from the on-chip sweep: take the widest <=8192
+        # Tile rules from the on-chip sweeps: take the widest <=8192
         # divisor tile (non-pow2 allowed: 7B gate|up tn=5504 542 GB/s),
-        # K-step sized to tk*tn ~ 1M elements (attno tn=2048/kc=2,
-        # gateup-1.1B tn=5632/kc=1); below tn=1024 the batched depth-32
-        # MXU dots lose to the f32 path (qkv 2560x2048: int8 8.0-12.0us
-        # vs f32 6.7us) — fall through.
+        # K-step sized to tk*tn ~ 4M elements capped at kc=4 (round-4
+        # re-sweep on the 7B decode shapes, tools/sweep_decode_shapes:
+        # wo 4096x4096 kc=1 24.1us -> kc=4 17.4us (74% of its streaming
+        # bound), wqkv 55.1 -> 51.2 (kc=2), gate|up 94.5 -> 84.7,
+        # w_down 55.4 -> 50.4; kc=8 regresses everywhere measured, e.g.
+        # wo tn=2048/kc=8 23.3us vs kc=4 17.8us — deeper K-steps win by
+        # larger per-step DMAs until the two-step pipeline loses its
+        # overlap granularity). The target scales down with the batch
+        # rows (m_pad > 8 doubles the i32 idot block) to keep the
+        # naive VMEM estimate inside the 16MB scoped stack; below
+        # tn=1024 the batched depth-32 MXU dots lose to the f32 path
+        # (qkv 2560x2048: int8 8.0-12.0us vs f32 6.7us) — fall through.
         tn8 = tn if tn is not None else divisor_tile(8192)
         # "force" drops the width gate (tests exercise small-N shapes)
         min_tn = 128 if i8mode == "force" else 1024
         if tn8 >= min_tn:
             kc8 = kc
             if kc8 is None:
-                kc_target = max(1, (1 << 20) // (TK * tn8))
+                m_rows = max(8, -(-m // 8) * 8)
+                kc_target = max(1, (1 << 22) * 8 // (TK * tn8 * m_rows))
                 n_chunks = k // TK
                 kc8 = 1
-                for cand in (8, 4, 2):
+                for cand in (4, 2):
                     if cand <= kc_target and n_chunks % cand == 0:
                         kc8 = cand
                         break
                 else:
-                    for cand in (8, 4, 2):
+                    for cand in (4, 2):
                         if cand <= kc_target and n_chunks >= 2 * cand:
                             kc8 = cand
                             break
