@@ -11,9 +11,20 @@ Timing: the kernel runs inside an on-device lax.scan with a data dependence
 between iterations (so nothing can be hoisted/deduped), and the per-iteration
 time is the SLOPE between a short and a long scan — this cancels the large
 fixed per-invocation overhead of the tunneled TPU runtime and is robust to
-host-side noise. min over several trials.
+host-side noise.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Round-5 measurement hardening (VERDICT r4 weak #2: the r3->r4 181.6->144.6
+TFLOPS swing was a measurement artifact band, not a kernel change): the
+slope samples are INTERLEAVED pairs (long run, short run, back to back —
+tunnel drift hits both runs of a pair equally instead of biasing one
+phase), the iteration spread is 400 scan steps (~30 ms of device time, an
+order of magnitude above the tunnel's ms-scale host jitter; the old 40-step
+spread was ~3 ms and LIVED inside the jitter), and the reported value is
+the MEDIAN of 11 pair-slopes. The JSON line carries the observed sample
+spread so the driver record shows the measurement's own error bar.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"spread_pct"}.
 """
 
 import json
@@ -62,20 +73,21 @@ def main():
             return c
         return loop
 
-    n1, n2 = (5, 45) if on_tpu else (1, 3)
+    n1, n2 = (50, 450) if on_tpu else (1, 3)
     loop1, loop2 = make_loop(n1), make_loop(n2)
     loop1(xd).block_until_ready()   # compile
     loop2(xd).block_until_ready()
 
-    def best_total(loop, reps=5):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            loop(xd).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed(loop):
+        t0 = time.perf_counter()
+        loop(xd).block_until_ready()
+        return time.perf_counter() - t0
 
-    dt = (best_total(loop2) - best_total(loop1)) / (n2 - n1)
+    reps = 11 if on_tpu else 3
+    slopes = sorted((timed(loop2) - timed(loop1)) / (n2 - n1)
+                    for _ in range(reps))
+    dt = slopes[len(slopes) // 2]                       # median
+    spread_pct = 100.0 * (slopes[-1] - slopes[0]) / dt if dt > 0 else 0.0
 
     # correctness gates vs exact dequant matmul (run AFTER timing: large
     # transfers perturb the shared device)
@@ -95,6 +107,7 @@ def main():
         "value": round(gflops, 2),
         "unit": "GFLOPS",
         "vs_baseline": round(gflops / BASELINE, 2),
+        "spread_pct": round(spread_pct, 1),
     }))
 
 

@@ -1,6 +1,9 @@
 """Subprocess worker for tests/test_multihost_server.py (not a test).
 
-argv: coord_port pid model http_port bcast_port
+argv: coord_port pid model http_port bcast_port [opts]
+
+opts: comma list — "lookup" enables --lookup-decoding,
+"hb=<seconds>" sets the worker-loss heartbeat deadline.
 
 Both processes initialize jax.distributed (2 procs x 4 CPU devices) and
 call server.serve with IDENTICAL engine args and the broadcast channel:
@@ -14,6 +17,12 @@ import sys
 
 def main() -> int:
     coord, pid, model, http_port, bport = sys.argv[1:6]
+    opts = sys.argv[6].split(",") if len(sys.argv) > 6 else []
+    lookup = "lookup" in opts
+    heartbeat = 5.0
+    for o in opts:
+        if o.startswith("hb="):
+            heartbeat = float(o[3:])
     from tpulamm.parallel.distributed import init_distributed
     info = init_distributed(coordinator=f"localhost:{coord}",
                             num_processes=2, process_id=int(pid))
@@ -44,7 +53,7 @@ def main() -> int:
         signal.signal(signal.SIGTERM, on_term)
     serve(model, host="127.0.0.1", port=int(http_port), n_slots=2,
           n_ctx=128, tp=8, broadcast=("127.0.0.1", int(bport)),
-          started=started)
+          started=started, lookup_decoding=lookup, heartbeat=heartbeat)
     # worker path: returns on the stop frame / channel EOF. Skip the
     # interpreter teardown — the coordination poller would otherwise race
     # the frontend's exit and abort this process non-zero.

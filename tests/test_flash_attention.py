@@ -118,3 +118,58 @@ def test_flash_matches_model_forward():
                       np.asarray(lg2))
     for a, b in zip(outs["einsum"], outs["flash"]):
         np.testing.assert_allclose(b, a, rtol=3e-2, atol=3e-2)
+
+
+# -- split-S flash decoding (ops/flash_attention.flash_decode) ---------------
+
+
+@pytest.mark.parametrize("shift", [False, True])
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_decode_matches_reference(causal, shift):
+    """Independent-chunk partials + XLA max/denominator combine must equal
+    the golden softmax for the 1-query-row decode shape, including
+    post-surgery position holes/shifts."""
+    from tpulamm.ops.flash_attention import flash_decode
+    q, k, v, kpos, qbase, qlen = _mk(T=1, G=1, S=416, shift=shift)
+    qlen = jnp.ones_like(qlen)
+    args = dict(scale=0.125, g=1, causal=causal)
+    ref = flash_attention_ref(q, k, v, kpos, qbase, qlen, **args)
+    # s_chunk 128 forces several chunks (416 -> 4, with a masked tail)
+    got = flash_decode(q, k, v, kpos, qbase, qlen, s_chunk=128,
+                       interpret=True, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_gqa_and_q8():
+    """GQA decode rows (T=1, G=8) + q8_0 scale folds through the split-S
+    path."""
+    from tpulamm.ops.flash_attention import flash_decode
+    q, k, v, kpos, qbase, qlen = _mk(T=1, G=8, S=384)
+    qlen = jnp.ones_like(qlen)
+    rng = np.random.default_rng(7)
+    B, Hkv, S, hd = k.shape
+    k8 = jnp.asarray(rng.integers(-127, 128, size=k.shape), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, size=v.shape), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, size=(B, Hkv, S)),
+                     jnp.float32)
+    args = dict(scale=0.125, g=8, causal=True)
+    ref = flash_attention_ref(q, k8, v8, kpos, qbase, qlen, ks, vs, **args)
+    got = flash_decode(q, k8, v8, kpos, qbase, qlen, ks, vs, s_chunk=128,
+                       interpret=True, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_empty_rows():
+    """A batch row with zero live cells must produce 0 output, not NaN."""
+    from tpulamm.ops.flash_attention import flash_decode
+    q, k, v, kpos, qbase, qlen = _mk(T=1, G=1, S=256)
+    qlen = jnp.ones_like(qlen)
+    kpos = kpos.at[1].set(-1)                        # row 1 fully dead
+    got = flash_decode(q, k, v, kpos, qbase, qlen, s_chunk=128,
+                       interpret=True, scale=0.125, g=1, causal=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_array_equal(np.asarray(got[1]), 0.0)

@@ -545,3 +545,72 @@ def test_server_lookup_decoding_sampled(tmp_path_factory):
     finally:
         started.sched.running = False
         started.httpd.shutdown()
+
+
+def test_server_draft_model_tier(tmp_path_factory):
+    """--model-draft serving tier (speculative.cpp fused into serving):
+    greedy output is byte-identical to a plain server; near-zero
+    temperature through the STOCHASTIC verify reproduces greedy exactly
+    (the acceptance rule's temp->0 limit); self-draft at temp 0.8 accepts
+    ~always (p == q: the sharpest detector of a mis-wired p/q ratio)."""
+    torch.manual_seed(11)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    with torch.no_grad():
+        model.lm_head.weight *= 3.0      # sharpen: cross-shape tie noise
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv_dft") / "tiny.gguf")
+    convert_hf_llama(sd, model.config, path, qtype=GGMLType.Q8_0,
+                     vocab=make_vocab_md())
+
+    from tpulamm.server.server import serve
+
+    def boot(draft):
+        started = threading.Event()
+        th = threading.Thread(
+            target=serve, args=(path,),
+            kwargs=dict(port=0, n_slots=2, n_ctx=128, started=started,
+                        model_draft=draft), daemon=True)
+        th.start()
+        assert started.wait(timeout=300)
+        return started
+
+    body = {"prompt": "the cat sat on the mat", "n_predict": 24,
+            "temperature": 0.0, "repeat_penalty": 1.0, "top_k": 40,
+            "top_p": 1.0, "min_p": 0.0}
+    plain_srv = boot(None)
+    try:
+        st, b = _post(f"http://127.0.0.1:{plain_srv.httpd.server_port}",
+                      "/completion", body)
+        ref = json.loads(b)["content"]
+    finally:
+        plain_srv.sched.running = False
+        plain_srv.httpd.shutdown()
+
+    srv = boot(path)                      # self-draft
+    base = f"http://127.0.0.1:{srv.httpd.server_port}"
+    try:
+        st, b = _post(base, "/completion", body)
+        assert json.loads(b)["content"] == ref       # greedy-exact
+        m = srv.sched.metrics
+        assert m.spec_draft_blocks > 0 and m.spec_drafted > 0
+        # near-zero temp through the stochastic verify == greedy
+        _, b = _post(base, "/completion", dict(body, temperature=1e-4))
+        assert json.loads(b)["content"] == ref
+        # self-draft at temp 0.8: stochastic acceptance must be ~1
+        # (p == q). Token-match would sit near sum p^2 << 1.
+        d0, a0 = m.spec_drafted, m.spec_accepted
+        _, b = _post(base, "/completion",
+                     dict(body, temperature=0.8, seed=5))
+        assert json.loads(b)["tokens_predicted"] > 0
+        drafted = m.spec_drafted - d0
+        accepted = m.spec_accepted - a0
+        assert drafted > 0
+        assert accepted / drafted > 0.9, (accepted, drafted)
+    finally:
+        srv.sched.running = False
+        srv.httpd.shutdown()

@@ -293,3 +293,166 @@ def test_ondevice_lookup_no_repeats(sharp_model_path):
     spec, _, _ = generate_prompt_lookup_fast(
         eng2, PROMPT, n_predict=16, n_draft=4, temp=0.0, stop_on_eos=False)
     assert spec == plain
+
+
+# -- stochastic speculative sampling (speculative.cpp:245-295 parity) ---------
+#
+# The acceptance rule (draft samples d ~ q; accept iff u <= p(d)/q(d);
+# resample the first rejection from normalize(max(p-q,0))) must emit tokens
+# distributed EXACTLY as plain target sampling, for ANY draft distribution.
+# These tests verify the theorem empirically at the rule level (vectorized,
+# tight tolerance) and end-to-end through the on-device scan.
+
+
+def test_stochastic_rule_distribution_parity():
+    """Rule-level: the marginal of the first emitted token equals the
+    target distribution p for an arbitrary (mismatched) draft q."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpulamm.runtime.speculative import (_dense_dist, _dist_sample,
+                                             _stochastic_accept)
+    V, k = 16, 3
+    rng = np.random.default_rng(0)
+    lg_t = jnp.asarray(rng.normal(size=(k + 1, V)) * 1.5, jnp.float32)
+    lg_d = jnp.asarray(rng.normal(size=(k, V)) * 1.5, jnp.float32)
+    temp, top_k = jnp.float32(1.0), 0
+
+    pt = jax.vmap(lambda l: _dense_dist(l, temp, top_k))(lg_t)
+    qd = jax.vmap(lambda l: _dense_dist(l, temp, top_k))(lg_d)
+
+    @jax.jit
+    def one_trial(key):
+        key, dk = jax.random.split(key)
+        draft_toks = jax.vmap(_dist_sample)(qd, jax.random.split(dk, k))
+        n_acc, nxt, _ = _stochastic_accept(pt, qd, draft_toks, key)
+        first = jnp.where(n_acc == 0, nxt, draft_toks[0])
+        return first, n_acc
+
+    N = 40000
+    firsts, n_accs = jax.vmap(one_trial)(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(N)))
+    emp = np.bincount(np.asarray(firsts), minlength=V) / N
+    tv = 0.5 * np.abs(emp - np.asarray(pt[0])).sum()
+    # sqrt(V/N) ~ 0.02 sampling noise at N=40k; 0.02 tolerance rejects
+    # any systematic bias (token-match emission here measures tv ~ 0.1+)
+    assert tv < 0.02, f"TV(emitted, target) = {tv:.4f}"
+    # both accept and reject paths must actually run
+    n_accs = np.asarray(n_accs)
+    assert (n_accs == 0).any() and (n_accs > 0).any()
+
+
+def test_stochastic_rule_identical_dists_accept_all():
+    """p == q => acceptance probability is exactly 1 (u <= p/q = 1 always);
+    token-match would accept only with probability sum p^2 < 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpulamm.runtime.speculative import (_dense_dist, _dist_sample,
+                                             _stochastic_accept)
+    V, k = 16, 4
+    rng = np.random.default_rng(1)
+    lg = jnp.asarray(rng.normal(size=(k + 1, V)) * 1.5, jnp.float32)
+    temp, top_k = jnp.float32(0.8), 0
+    pt = jax.vmap(lambda l: _dense_dist(l, temp, top_k))(lg)
+    qd = pt[:k]
+
+    @jax.jit
+    def one_trial(key):
+        key, dk = jax.random.split(key)
+        draft_toks = jax.vmap(_dist_sample)(qd, jax.random.split(dk, k))
+        n_acc, _, _ = _stochastic_accept(pt, qd, draft_toks, key)
+        return n_acc
+
+    n_accs = np.asarray(jax.vmap(one_trial)(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(2000))))
+    assert (n_accs == k).all()
+
+
+def test_stochastic_rule_point_mass_draft():
+    """q = point mass at d (the lookup-tier regime): acceptance must be
+    p(d), rejection must resample p excluding d — i.e. exactly what the
+    token-match rule does for deterministic drafts."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpulamm.runtime.speculative import _stochastic_accept
+    V = 8
+    p = np.asarray([.3, .2, .15, .1, .1, .08, .05, .02], np.float32)
+    d = 1
+    pt = jnp.asarray(np.stack([p, p]), jnp.float32)          # k=1
+    qd = jnp.zeros((1, V), jnp.float32).at[0, d].set(1.0)
+    toks = jnp.asarray([d], jnp.int32)
+
+    @jax.jit
+    def one_trial(key):
+        n_acc, nxt, _ = _stochastic_accept(pt, qd, toks, key)
+        return n_acc, nxt
+
+    N = 40000
+    n_accs, nxts = jax.vmap(one_trial)(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(N)))
+    n_accs, nxts = np.asarray(n_accs), np.asarray(nxts)
+    acc_rate = (n_accs == 1).mean()
+    assert abs(acc_rate - p[d]) < 0.01
+    rej = nxts[n_accs == 0]
+    res = p.copy()
+    res[d] = 0.0
+    res /= res.sum()
+    emp = np.bincount(rej, minlength=V) / max(len(rej), 1)
+    assert 0.5 * np.abs(emp - res).sum() < 0.02
+    assert (rej != d).all()
+
+
+def test_ondevice_spec_stochastic_self_draft(sharp_model_path):
+    """End-to-end through the scan: self-draft at temp>0 must accept
+    ~always under stochastic acceptance (p == q up to float noise) —
+    the sharpest possible detector of a mis-wired ratio. Token-match
+    (TPULAMM_SPEC_TOKEN_MATCH=1) accepts far less on the same pair."""
+    from tpulamm.runtime.speculative import generate_speculative_fast
+    target = Engine(sharp_model_path, n_ctx=256)
+    draft = Engine(sharp_model_path, n_ctx=256)
+    out, _, stats = generate_speculative_fast(
+        target, draft, PROMPT, n_predict=32, n_draft=4, temp=0.9,
+        top_k=0, seed=7, stop_on_eos=False)
+    assert len(out) == 32
+    assert stats.accept_rate > 0.9, stats
+    # engines continuable: contiguous cells, n_past consistent
+    np.testing.assert_array_equal(
+        target.cell_pos[0, :int(target.n_past[0])],
+        np.arange(int(target.n_past[0])))
+
+
+def test_ondevice_spec_stochastic_bad_draft(sharp_model_path, tmp_path,
+                                            monkeypatch):
+    """Mismatched draft at temp>0: rejections exercise the residual
+    resample; output must stay plausible (drawn from the target's top-k
+    support) and the run must out-accept the token-match rule on the
+    same pair/seed."""
+    import os
+    from tpulamm.runtime.speculative import generate_speculative_fast
+    torch.manual_seed(321)
+    m2 = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256))
+    m2.eval()
+    dpath = str(tmp_path / "draft.gguf")
+    convert_hf(m2, dpath, qtype=GGMLType.F32)
+
+    target = Engine(sharp_model_path, n_ctx=256)
+    draft = Engine(dpath, n_ctx=256)
+    out, _, stats = generate_speculative_fast(
+        target, draft, PROMPT, n_predict=40, n_draft=4, temp=0.8,
+        top_k=40, seed=3, stop_on_eos=False)
+    assert len(out) == 40
+    assert 0.0 < stats.accept_rate < 1.0
+
+    # token-match A/B on the identical pair: stochastic must accept more
+    monkeypatch.setenv("TPULAMM_SPEC_TOKEN_MATCH", "1")
+    target2 = Engine(sharp_model_path, n_ctx=256)
+    draft2 = Engine(dpath, n_ctx=256)
+    _, _, stats_tm = generate_speculative_fast(
+        target2, draft2, PROMPT, n_predict=40, n_draft=4, temp=0.8,
+        top_k=40, seed=3, stop_on_eos=False)
+    assert stats.accept_rate >= stats_tm.accept_rate

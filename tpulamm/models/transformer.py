@@ -206,14 +206,23 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     # XLA-fused einsum wins until the KV span is long (tg256: einsum 441
     # vs flash 376 t/s at S=2049 — crossover around S~6k).
     S_cache = kc.shape[2]          # span-aware: the real workload size
-    # decode-side flash additionally requires enough query rows to fill
-    # MXU sublanes: at T*G < 8 the kernel degenerates to (8, hd) tiles
-    # with one live row across Hkv x S-tiles grid steps — measured on the
-    # 7B (MHA, G=1) at S=8192: flash 28.3 vs einsum 130.5 t/s. The GQA
-    # 1.1B (G=8) keeps its measured ~6k crossover.
+    # Decode (small T*G) uses the SPLIT-S kernel (flash_decode):
+    # independent KV chunks with an XLA max/denominator combine, so the
+    # per-chunk grid steps are all-parallel and 4x fatter than the main
+    # kernel's sequential 512-key tiles — the main kernel's decode half
+    # measured 28.3 vs einsum's 130.5 t/s at S=8192 on the MHA 7B
+    # (PERF.md r4) because a 1-row query paid the online-softmax chain
+    # per tiny tile. TPULAMM_FLASH_DECODE=0 keeps decode off flash
+    # entirely; =1 forces split-S decode at any S (A/B).
+    import os
+    fd_env = os.environ.get("TPULAMM_FLASH_DECODE", "")
+    small_q = T * group < 64                     # decode-regime rows
     auto = jax.default_backend() == "tpu" and (
         (T >= 64 and S_cache >= 1024)
+        or (small_q and S_cache >= 8192 and fd_env != "0")
         or (S_cache >= 6144 and T * group >= 8))
+    if fd_env == "1" and small_q:
+        auto = True
     # quantized (q8_0) caches work on BOTH paths: einsum folds the per-row
     # scales into the score/prob tensors; the flash kernel folds them
     # in-kernel (ks into score columns, vs into p) — either way the cache
@@ -223,7 +232,8 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
                  and (cfg.flash_attn if cfg.flash_attn is not None
                       else auto))
     if use_flash:
-        from tpulamm.ops.flash_attention import flash_attention
+        from tpulamm.ops.flash_attention import (flash_attention,
+                                                 flash_decode)
         kpos = crow(cache.pos) if slots is None else cache.pos[slots]
         kpos = kpos[:, :S_cache]
         qf = qg.transpose(0, 2, 1, 3, 4).reshape(
@@ -237,11 +247,13 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
             sc = (crow(planes[layer_idx]) if slots is None
                   else planes[layer_idx][slots])
             return sc[:, :, :S_cache]
-        o = flash_attention(qf, kc, vc, kpos, qbase, qlen,
-                            scp(cache.ks), scp(cache.vs),
-                            scale=float(1.0 / math.sqrt(hd)), g=group,
-                            causal=cfg.causal,
-                            interpret=jax.default_backend() != "tpu")
+        attn_fn = flash_decode if small_q and fd_env != "0" \
+            else flash_attention
+        o = attn_fn(qf, kc, vc, kpos, qbase, qlen,
+                    scp(cache.ks), scp(cache.vs),
+                    scale=float(1.0 / math.sqrt(hd)), g=group,
+                    causal=cfg.causal,
+                    interpret=jax.default_backend() != "tpu")
         o = o.reshape(B, cfg.n_kv_heads, T, group, hd) \
              .transpose(0, 2, 1, 3, 4)
         o = o.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)

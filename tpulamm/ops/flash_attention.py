@@ -195,6 +195,161 @@ def flash_attention(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
     )(*inputs)
 
 
+# -- split-S flash decoding ---------------------------------------------------
+#
+# The main kernel's decode half is dead weight at T*G small: a 1-query-row
+# step issues (8, hd) tiles with one live row across Hkv x S-tile grid
+# steps, paying the online-softmax VPU chain + grid-step floor per tiny
+# tile (measured 28.3 vs einsum's 130.5 t/s at S=8192 on the MHA 7B —
+# PERF.md r4). Flash-decoding (Dao et al.'s split-KV trick) restructures
+# the work: S splits into INDEPENDENT chunks, each grid step computes an
+# unnormalized partial (acc, m, l) for its chunk with a single local
+# softmax (no cross-step carry, so every grid dimension is "parallel" and
+# Mosaic pipelines the KV DMA stream freely), and a cheap XLA epilogue
+# combines the partials with the standard max/denominator rescale. Chunks
+# are large (default 2048 keys) so the per-step floor amortizes over 4x
+# the bytes of the main kernel's 512-key tiles.
+
+
+def _decode_kernel(qbase_ref, qlen_ref, q_ref, k_ref, v_ref, kpos_ref,
+                   *refs, scale: float, g: int, tg_p: int, s_t: int,
+                   s_total: int, causal: bool, compute_dtype,
+                   has_ks: bool, has_vs: bool, hkv: int):
+    refs = list(refs)
+    ks_ref = refs.pop(0) if has_ks else None
+    vs_ref = refs.pop(0) if has_vs else None
+    acc_ref, m_ref, l_ref = refs
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    j = pl.program_id(2)                     # S chunk (independent)
+
+    q = q_ref[0, 0].astype(compute_dtype)            # (TGp, hd)
+    k = k_ref[0, 0].astype(compute_dtype)            # (St, hd)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if has_ks:
+        s = s * ks_ref[pl.ds(b * hkv + h, 1), :]
+
+    kpos = kpos_ref[pl.ds(b, 1), :].astype(jnp.int32)    # (1, St)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tg_p, s_t), 1) + j * s_t
+    live = (kpos >= 0) & (col < s_total)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tg_p, s_t), 0)
+        t = row // g
+        qpos = qbase_ref[b] + t
+        live = live & (kpos <= qpos) & (t < qlen_ref[b])
+    s = jnp.where(live, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)           # (TGp, 1) local max
+    p = jnp.where(s <= NEG_INF, 0.0, jnp.exp(s - m))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0, 0].astype(compute_dtype)            # (St, hd)
+    vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + j * s_t
+    v = jnp.where(vrow < s_total, v, 0)
+    if has_vs:
+        vcol = (jax.lax.broadcasted_iota(jnp.int32, (1, s_t), 1)
+                + j * s_t)
+        vsv = jnp.where(vcol < s_total,
+                        vs_ref[pl.ds(b * hkv + h, 1), :], 0)
+        p = p * vsv
+    acc_ref[0, 0, 0] = jax.lax.dot_general(
+        p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[0, 0, 0] = jnp.broadcast_to(m, (tg_p, 128))
+    l_ref[0, 0, 0] = jnp.broadcast_to(l, (tg_p, 128))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "g", "causal", "s_chunk",
+                              "interpret"))
+def flash_decode(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
+                 scale: float, g: int, causal: bool = True,
+                 s_chunk: int = 2048, interpret: bool = False):
+    """Split-S flash decoding (same I/O contract as flash_attention).
+
+    q: (B, Hkv, TG, hd) with TG small (decode); k/v: (B, Hkv, S, hd);
+    kpos: (B, S); qbase/qlen: (B,). ks/vs: optional q8_0 per-row scale
+    planes, folded in-kernel exactly like the main kernel. Returns
+    (B, Hkv, TG, hd) f32 — numerically the same softmax(QK^T)V as
+    flash_attention_ref up to reduction order."""
+    B, Hkv, TG, hd = q.shape
+    S = k.shape[2]
+    tg_p = -(-TG // 8) * 8                       # pad query rows to 8
+    if tg_p != TG:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tg_p - TG), (0, 0)))
+    s_t = min(s_chunk, -(-S // 128) * 128)
+    ns = pl.cdiv(S, s_t)
+
+    grid = (B, Hkv, ns)
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, g=g, tg_p=tg_p, s_t=s_t, s_total=S,
+        causal=causal, compute_dtype=jnp.bfloat16,
+        has_ks=ks is not None, has_vs=vs is not None, hkv=Hkv)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # qbase (B,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # qlen (B,)
+        pl.BlockSpec((1, 1, tg_p, hd), lambda b, h, j: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_t, hd), lambda b, h, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_t, hd), lambda b, h, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, s_t), lambda b, h, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [qbase, qlen, q, k, v, kpos]
+    sc_spec = pl.BlockSpec((B * Hkv, s_t), lambda b, h, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    for sc in (ks, vs):
+        if sc is not None:
+            in_specs.append(sc_spec)
+            inputs.append(sc.reshape(B * Hkv, S))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Hkv, ns, tg_p, hd), jnp.float32),
+        jax.ShapeDtypeStruct((B, Hkv, ns, tg_p, 128), jnp.float32),
+        jax.ShapeDtypeStruct((B, Hkv, ns, tg_p, 128), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, tg_p, hd), lambda b, h, j: (b, h, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, tg_p, 128),
+                     lambda b, h, j: (b, h, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, tg_p, 128),
+                     lambda b, h, j: (b, h, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    flops = 4 * B * Hkv * tg_p * S * hd
+    kv_bytes = 2 * B * Hkv * S * hd * k.dtype.itemsize
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=kv_bytes + 2 * q.size * 4,
+            transcendentals=B * Hkv * tg_p * S),
+        interpret=interpret,
+    )(*inputs)
+
+    # cross-chunk combine (XLA epilogue; ns <= a few dozen rows):
+    # out = sum_j exp(m_j - m*) acc_j / sum_j exp(m_j - m*) l_j
+    m = m[..., 0]                                # (B, Hkv, ns, TGp)
+    l = l[..., 0]
+    m_g = jnp.max(m, axis=2, keepdims=True)
+    w = jnp.exp(m - m_g)                         # fully-masked chunks:
+    l_g = jnp.sum(w * l, axis=2)                 # m=NEG_INF, l=0 -> w*l=0
+    o = jnp.sum(w[..., None] * acc, axis=2)      # (B, Hkv, TGp, hd)
+    o = jnp.where(l_g[..., None] > 0, o / l_g[..., None], 0.0)
+    return o[:, :, :TG]
+
+
 def flash_attention_ref(q, k, v, kpos, qbase, qlen, ks=None, vs=None, *,
                         scale, g, causal=True):
     """jnp reference with identical semantics (golden model for tests)."""

@@ -227,11 +227,85 @@ def generate_prompt_lookup(engine: Engine, prompt, *, n_predict: int = 128,
 # Greedy speculative decoding is OUTPUT-INVARIANT: for any draft model the
 # emitted tokens equal plain greedy decoding of the target (only the speed
 # changes). tests/test_speculative.py uses that as an exact parity gate.
+#
+# Temperature verify has two exact acceptance rules:
+#  - TOKEN-MATCH (legacy, TPULAMM_SPEC_TOKEN_MATCH=1): sample t_j from the
+#    target per position, accept while t_j equals the draft. Exact (every
+#    emitted token IS a target sample) but acceptance probability is
+#    sum_x p(x)q(x) — low when both distributions are spread (measured
+#    10.7% at temp 0.8, PERF.md r4).
+#  - STOCHASTIC (default for temp>0): true speculative sampling
+#    (speculative.cpp:245-295; Leviathan et al.) — the draft SAMPLES its
+#    proposals from q, acceptance is u <= p(d)/q(d) per position, the
+#    first rejection resamples from normalize(max(p-q, 0)). Exact by the
+#    standard telescoping argument, with acceptance sum_x min(p(x), q(x))
+#    >= sum_x p(x)q(x): strictly better whenever the distributions
+#    overlap. tests/test_speculative.py gates the emitted-token
+#    distribution against plain sampling empirically.
+
+
+def _dense_dist(lg, temp, top_k: int):
+    """(V,) logits -> the plain sampler's distribution (temp + top-k),
+    dense over V. Matches Engine._sample_next's categorical over the
+    top-k set: entries below the k-th largest logit get probability 0.
+    (A boundary TIE keeps every tied element where _sample_next keeps
+    exactly k — measure-zero for real-model logits.)"""
+    import jax
+    import jax.numpy as jnp
+    t = jnp.maximum(temp, 1e-6)
+    if top_k > 0:
+        thr = jax.lax.top_k(lg, top_k)[0][-1]
+        lg = jnp.where(lg >= thr, lg, -jnp.inf)
+    return jax.nn.softmax(lg / t)
+
+
+def _dist_sample(dist, key):
+    """Categorical draw from a dense probability vector (zeros excluded)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.random.categorical(
+        key, jnp.where(dist > 0, jnp.log(dist), -jnp.inf)).astype(jnp.int32)
+
+
+def _stochastic_accept(pt, qd, draft_toks, key):
+    """Speculative-sampling acceptance with residual resampling.
+
+    Reference semantics: speculative.cpp:245-295 — per position draw
+    u ~ U(0,1), accept draft token d_i iff u <= p_i(d_i)/q_i(d_i); at the
+    first rejection sample the correction from normalize(max(p_i - q_i, 0));
+    if all k accepted, the bonus token samples from p_k. Emitted tokens are
+    distributed EXACTLY as plain target sampling (Leviathan et al. 2023,
+    thm 1), for any draft distribution q.
+
+    pt: (k+1, V) target dists; qd: (k, V) draft dists; draft_toks: (k,).
+    Returns (n_acc, nxt, key)."""
+    import jax
+    import jax.numpy as jnp
+    k = qd.shape[0]
+    key, ku, kr = jax.random.split(key, 3)
+    u = jax.random.uniform(ku, (k,))
+    p_at = jnp.take_along_axis(pt[:k], draft_toks[:, None], 1)[:, 0]
+    q_at = jnp.take_along_axis(qd, draft_toks[:, None], 1)[:, 0]
+    # u*q <= p  <=>  u <= p/q (q(d) > 0 since d was sampled from q); the
+    # multiplied form needs no divide-by-zero guard
+    acc = u * q_at <= p_at
+    n_acc = jnp.where(acc.all(), k, jnp.argmax(~acc)).astype(jnp.int32)
+    p_sel = pt[n_acc]                                     # (V,)
+    q_sel = jnp.where(n_acc < k,
+                      qd[jnp.minimum(n_acc, k - 1)], 0.0)  # 0 => bonus pos
+    res = jnp.maximum(p_sel - q_sel, 0.0)
+    den = res.sum()
+    # den == 0 on a rejection requires p == q pointwise, whose rejection
+    # probability is 0; the p_sel fallback only guards float dust
+    dist = jnp.where(den > 0, res / jnp.maximum(den, 1e-30), p_sel)
+    nxt = _dist_sample(dist, kr)
+    return n_acc, nxt, key
 
 
 def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
                      max_steps: int, top_k: int, greedy: bool,
-                     span_t: int | None = None, span_d: int | None = None):
+                     span_t: int | None = None, span_d: int | None = None,
+                     stochastic: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -255,16 +329,32 @@ def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
             (cache_t, cache_d, tok, pos, key, rows, accs, i, emitted,
              done) = st
 
-            def dstep(c, _):
+            if stochastic:
+                key, dk = jax.random.split(key)
+                dkeys = jax.random.split(dk, k)
+            else:
+                dkeys = jnp.zeros((k, 2), jnp.uint32)    # unused
+
+            def dstep(c, dkey):
                 cache_d, t, p = c
                 lg, cache_d = fwd_d(params_d, cfg_d, t[None, None],
                                     p[None, None], cache_d, None,
                                     p[None, None], kv_span=span_d)
-                nt = jnp.argmax(lg[0, 0, :Vd]).astype(jnp.int32)
-                return (cache_d, nt, p + 1), nt
+                lgv = lg[0, 0, :Vd]
+                if stochastic:
+                    # SAMPLE from the draft's own temp/top-k distribution
+                    # and keep it: the acceptance ratio and the residual
+                    # need q, not just the token
+                    q = _dense_dist(lgv, temp, top_k)
+                    nt = _dist_sample(q, dkey)
+                    out = (nt, q)
+                else:
+                    nt = jnp.argmax(lgv).astype(jnp.int32)
+                    out = (nt, jnp.zeros((0,), jnp.float32))
+                return (cache_d, nt, p + 1), out
 
-            (cache_d, last, pd), draft_toks = jax.lax.scan(
-                dstep, (cache_d, tok, pos), None, length=k)
+            (cache_d, last, pd), (draft_toks, qds) = jax.lax.scan(
+                dstep, (cache_d, tok, pos), dkeys, length=k)
             # write the last proposal's KV too (its logits are unused): if
             # the whole draft is accepted the next cycle proposes from a
             # context that includes it (host path replays via on_accept)
@@ -280,16 +370,24 @@ def _build_spec_scan(target: Engine, draft: Engine, n_draft: int,
             lg = logits[0, :, :Vt]                                 # (k+1, V)
             if greedy:
                 tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                match = tgt[:k] == draft_toks
+                n_acc = jnp.where(match.all(), k,
+                                  jnp.argmax(~match)).astype(jnp.int32)
+                nxt = tgt[n_acc]
+            elif stochastic:
+                pt = jax.vmap(lambda l: _dense_dist(l, temp, top_k))(lg)
+                n_acc, nxt, key = _stochastic_accept(pt, qds, draft_toks,
+                                                     key)
             else:
                 key, sub = jax.random.split(key)
                 subs = jax.random.split(sub, k + 1)
                 tgt = jax.vmap(
                     lambda l, s: Engine._sample_next(
                         l, s, temp, top_k, False)[1])(lg, subs)
-            match = tgt[:k] == draft_toks
-            n_acc = jnp.where(match.all(), k,
-                              jnp.argmax(~match)).astype(jnp.int32)
-            nxt = tgt[n_acc]
+                match = tgt[:k] == draft_toks
+                n_acc = jnp.where(match.all(), k,
+                                  jnp.argmax(~match)).astype(jnp.int32)
+                nxt = tgt[n_acc]
             idx = jnp.arange(k + 1, dtype=jnp.int32)
             row = jnp.where(idx < n_acc,
                             jnp.concatenate([draft_toks, draft_toks[:1]]),
@@ -316,11 +414,17 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
                               seed: int = 0, stop_on_eos: bool = True):
     """Draft-model speculative decoding with the whole propose/verify/accept
     loop on device (one dispatch per generation block). Greedy (temp<=0)
-    emits exactly the tokens plain greedy decoding would; temp>0 uses the
-    speculative.cpp acceptance rule (target's own sampled choice must equal
-    the draft). Both engines must be single-slot, unmeshed, non-recurrent.
+    emits exactly the tokens plain greedy decoding would; temp>0 uses TRUE
+    speculative sampling (speculative.cpp:245-295: draft samples from q,
+    accept iff u <= p/q, residual-resample on rejection — emitted tokens
+    are distributed exactly as plain target sampling, with acceptance
+    sum min(p,q) instead of token-match's sum p*q).
+    TPULAMM_SPEC_TOKEN_MATCH=1 restores the legacy token-match verify for
+    A/B. Both engines must be single-slot, unmeshed, non-recurrent.
 
     Returns (token_ids, text, SpecStats)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -339,6 +443,11 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
     first = int(np.argmax(logits))
     eos = target.tokenizer.vocab.eos_id if target.tokenizer else 2
     greedy = temp <= 0.0
+    # the residual max(p-q, 0) needs p and q over the SAME vocab
+    stochastic = (not greedy
+                  and target.cfg.vocab_size == draft.cfg.vocab_size
+                  and os.environ.get("TPULAMM_SPEC_TOKEN_MATCH",
+                                     "0") == "0")
 
     max_steps = next((b for b in Engine.DECODE_BUCKETS if b >= n_predict),
                      Engine.DECODE_BUCKETS[-1])
@@ -357,11 +466,11 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
         span_t = target._kv_span(budget)
         span_d = draft._kv_span(budget)
         cache_key = (id(draft), n_draft, max_steps, top_k, greedy,
-                     span_t, span_d)
+                     span_t, span_d, stochastic)
         if cache_key not in scans:
             scans[cache_key] = _build_spec_scan(
                 target, draft, n_draft, max_steps, top_k, greedy,
-                span_t=span_t, span_d=span_d)
+                span_t=span_t, span_d=span_d, stochastic=stochastic)
         rows, accs, n_steps, pos, target.cache, draft.cache = \
             scans[cache_key](
                 target.params, target.cache, draft.params, draft.cache,
@@ -418,7 +527,8 @@ def generate_speculative_fast(target: Engine, draft: Engine, prompt, *,
 
 def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
                        top_k: int, greedy: bool, ngram_min: int,
-                       ngram_max: int, span_t: int | None = None):
+                       ngram_max: int, span_t: int | None = None,
+                       raw: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -517,6 +627,9 @@ def _build_lookup_scan(target: Engine, n_draft: int, max_steps: int,
          _) = jax.lax.while_loop(cond, body, st)
         return rows, accs, n_steps, pos, cache_t
 
+    if raw:
+        # caller wraps (Engine.spec_lookup_block shard_maps under a mesh)
+        return run
     return jax.jit(run, donate_argnums=(1, 2))
 
 
@@ -602,10 +715,130 @@ def generate_prompt_lookup_fast(engine: Engine, prompt, *,
     return out, text, stats
 
 
+def _build_draft_scan_srv(target: Engine, draft: Engine, n_draft: int,
+                          max_steps: int, top_k: int, greedy: bool,
+                          span_t: int | None = None,
+                          span_d: int | None = None,
+                          stochastic: bool = False, raw: bool = False):
+    """Draft-model speculation for SERVING: one active slot of a
+    multi-slot target engine, single-slot draft engine, the whole
+    draft/verify/accept loop in one jitted while_loop (the _build_spec_scan
+    body with _build_lookup_scan's compound-row target step). greedy
+    verifies by argmax match (output-exact); temp>0 runs TRUE speculative
+    sampling (_stochastic_accept) so every emitted token is distributed as
+    plain sampling while acceptance is sum min(p,q) — the serving win the
+    token-match tier could not reach (PERF.md r4: 10.7% acceptance at
+    temp 0.8)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg_t, cfg_d = target.cfg_step, draft.cfg_step
+    fwd_t, fwd_d = target._model_forward, draft._model_forward
+    k = n_draft
+    Vt, Vd = cfg_t.vocab_size, cfg_d.vocab_size
+    n_ctx = min(target.n_ctx, draft.n_ctx)
+    B = target.n_slots
+
+    def run(params_t, cache_t, params_d, cache_d, first_tok, start_pos,
+            slot, key, temp, eos_id, n_predict):
+        rows0 = jnp.full((max_steps, k + 1), -1, jnp.int32)
+        accs0 = jnp.zeros((max_steps,), jnp.int32)
+
+        def cond(st):
+            (_, _, _, pos, _, _, _, i, emitted, done) = st
+            return ((~done) & (i < max_steps) & (emitted < n_predict)
+                    & (pos + k + 1 <= n_ctx))
+
+        def body(st):
+            (cache_t, cache_d, tok, pos, key, rows, accs, i, emitted,
+             done) = st
+
+            if stochastic:
+                key, dk = jax.random.split(key)
+                dkeys = jax.random.split(dk, k)
+            else:
+                dkeys = jnp.zeros((k, 2), jnp.uint32)
+
+            def dstep(c, dkey):
+                cache_d, t, p = c
+                lg, cache_d = fwd_d(params_d, cfg_d, t[None, None],
+                                    p[None, None], cache_d, None,
+                                    p[None, None], kv_span=span_d)
+                lgv = lg[0, 0, :Vd]
+                if stochastic:
+                    q = _dense_dist(lgv, temp, top_k)
+                    nt = _dist_sample(q, dkey)
+                    out = (nt, q)
+                else:
+                    nt = jnp.argmax(lgv).astype(jnp.int32)
+                    out = (nt, jnp.zeros((0,), jnp.float32))
+                return (cache_d, nt, p + 1), out
+
+            (cache_d, last, pd), (draft_toks, qds) = jax.lax.scan(
+                dstep, (cache_d, tok, pos), dkeys, length=k)
+            _, cache_d = fwd_d(params_d, cfg_d, last[None, None],
+                               pd[None, None], cache_d, None,
+                               pd[None, None], kv_span=span_d)
+
+            toks = jnp.concatenate([tok[None], draft_toks])          # (k+1,)
+            poss = pos + jnp.arange(k + 1, dtype=jnp.int32)
+            # all-slots batch view: only `slot`'s row is live, the rest
+            # pad to the trash cell (the engine's n-row step contract)
+            rowm = (jnp.arange(B, dtype=jnp.int32) == slot)[:, None]
+            tokt = jnp.where(rowm, toks[None, :], 0)
+            post = jnp.where(rowm, poss[None, :], -1)
+            cellt = jnp.where(rowm, poss[None, :], target.n_ctx)
+            logits, cache_t = fwd_t(params_t, cfg_t, tokt, post, cache_t,
+                                    None, cellt, kv_span=span_t)
+            lg = logits[slot, :, :Vt]                              # (k+1, V)
+            if greedy:
+                tgt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                match = tgt[:k] == draft_toks
+                n_acc = jnp.where(match.all(), k,
+                                  jnp.argmax(~match)).astype(jnp.int32)
+                nxt = tgt[n_acc]
+            elif stochastic:
+                pt = jax.vmap(lambda l: _dense_dist(l, temp, top_k))(lg)
+                n_acc, nxt, key = _stochastic_accept(pt, qds, draft_toks,
+                                                     key)
+            else:
+                key, sub = jax.random.split(key)
+                subs = jax.random.split(sub, k + 1)
+                tgt = jax.vmap(
+                    lambda l, s: Engine._sample_next(
+                        l, s, temp, top_k, False)[1])(lg, subs)
+                match = tgt[:k] == draft_toks
+                n_acc = jnp.where(match.all(), k,
+                                  jnp.argmax(~match)).astype(jnp.int32)
+                nxt = tgt[n_acc]
+            # overshoot past n_predict is trimmed by the caller
+            # (_emit_generated), same contract as _build_lookup_scan
+            idx = jnp.arange(k + 1, dtype=jnp.int32)
+            row = jnp.where(idx < n_acc,
+                            jnp.concatenate([draft_toks, draft_toks[:1]]),
+                            jnp.where(idx == n_acc, nxt, -1))
+            hit_eos = jnp.any((idx <= n_acc) & (row == eos_id))
+            rows = jax.lax.dynamic_update_slice(rows, row[None], (i, 0))
+            accs = jax.lax.dynamic_update_slice(accs, n_acc[None], (i,))
+            n_emit = n_acc + 1
+            return (cache_t, cache_d, nxt, pos + n_emit, key, rows, accs,
+                    i + 1, emitted + n_emit, done | hit_eos)
+
+        st = (cache_t, cache_d, first_tok, start_pos, key, rows0, accs0,
+              jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+        (cache_t, cache_d, _, pos, _, rows, accs, n_steps, emitted,
+         _) = jax.lax.while_loop(cond, body, st)
+        return rows, accs, n_steps, pos, cache_t, cache_d
+
+    if raw:
+        return run
+    return jax.jit(run, donate_argnums=(1, 3))
+
+
 def _build_lookup_scan_multi(target: Engine, n_rows: int, n_draft: int,
                              max_steps: int, ngram_min: int, ngram_max: int,
                              span_t: int | None = None, greedy: bool = True,
-                             top_k: int = 40):
+                             top_k: int = 40, raw: bool = False):
     """Multi-slot prompt-lookup speculation: every ACTIVE slot drafts from
     its own history and ONE (n_rows, 1+k) compound forward verifies all of
     them per step — the serving extension of _build_lookup_scan. Slots
@@ -728,4 +961,6 @@ def _build_lookup_scan_multi(target: Engine, n_rows: int, n_draft: int,
          n_steps) = jax.lax.while_loop(cond, body, st)
         return rows, accs, n_steps, pos, emitted, cache_t
 
+    if raw:
+        return run
     return jax.jit(run, donate_argnums=(1,))

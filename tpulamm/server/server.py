@@ -82,6 +82,11 @@ class Metrics:
         self.spec_blocks = 0
         self.spec_drafted = 0
         self.spec_accepted = 0
+        # spec blocks verified against the --model-draft draft engine
+        # (stochastic acceptance at temp>0)
+        self.spec_draft_blocks = 0
+        # multi-host transport health
+        self.mh_workers_lost = 0
         # prompt tokens satisfied from a cached KV prefix (cache_prompt)
         self.cached_prompt_tokens = 0
 
@@ -110,6 +115,10 @@ class Metrics:
             f"llamacpp:spec_drafted_total {self.spec_drafted}\n"
             "# TYPE llamacpp:spec_accepted_total counter\n"
             f"llamacpp:spec_accepted_total {self.spec_accepted}\n"
+            "# TYPE llamacpp:spec_draft_blocks_total counter\n"
+            f"llamacpp:spec_draft_blocks_total {self.spec_draft_blocks}\n"
+            "# TYPE llamacpp:mh_workers_lost counter\n"
+            f"llamacpp:mh_workers_lost {self.mh_workers_lost}\n"
             "# TYPE llamacpp:prompt_cached_tokens_total counter\n"
             f"llamacpp:prompt_cached_tokens_total "
             f"{self.cached_prompt_tokens}\n")
@@ -120,6 +129,8 @@ class Scheduler(threading.Thread):
 
     LOOKUP_DRAFT = 4     # n-gram draft length for single-slot spec blocks
     LOOKUP_STEPS = 64    # verify steps per spec block
+    DRAFT_K = 4          # draft-model proposal length (--model-draft)
+    DRAFT_STEPS = 32     # verify steps per draft-model block
 
     def __init__(self, engine, n_slots: int, lookup_decoding: bool = False):
         super().__init__(daemon=True)
@@ -133,6 +144,7 @@ class Scheduler(threading.Thread):
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self.metrics = Metrics()
         self.running = True
+        self.worker_lost = False  # multi-host transport degraded
         self._block_counter = 0   # distinct RNG stream per fast block
         self.requests: dict[str, Request] = {}   # rid -> live request
         # shared system prompt (server.cpp:118,639-672,1028-1087): one
@@ -181,6 +193,10 @@ class Scheduler(threading.Thread):
         with self.metrics.lock:
             self.metrics.requests += 1
             self.metrics.queue_depth += 1
+        if self.worker_lost:
+            # degraded multi-host: refuse instead of queueing forever
+            self._fail_request(req, "multi-host worker lost")
+            return
         self.requests[req.rid] = req
         self.pending.put(req)
 
@@ -223,6 +239,32 @@ class Scheduler(threading.Thread):
         self.requests.pop(req.rid, None)
         req.out.put(("error", msg, {"prompt_tokens": 0,
                                     "completion_tokens": 0, "t_total": 0.0}))
+
+    def on_worker_lost(self, idx: int):
+        """Multi-host transport callback (heartbeat monitor thread): a
+        worker stopped heartbeating. Fail every live request LOUDLY and
+        refuse new ones — the scheduler thread may be blocked inside a
+        collective that can never complete (the dead worker was an SPMD
+        participant), so client-visible failure must not depend on it.
+        The next mirrored engine call raises WorkerLost (multihost)."""
+        self.worker_lost = True
+        with self.metrics.lock:
+            self.metrics.mh_workers_lost += 1
+        print(f"server: worker {idx} lost — failing in-flight requests",
+              flush=True)
+        try:
+            while True:
+                self._fail_request(self.pending.get_nowait(),
+                                   "multi-host worker lost")
+        except queue.Empty:
+            pass
+        # fail the streams; slot teardown is left to the run() loop (it
+        # may be blocked in a device step — the client error cannot wait
+        # for it)
+        for slot in self.slots:
+            req = slot.req
+            if req is not None:
+                self._fail_request(req, "multi-host worker lost")
 
     def _assign(self):
         for i, slot in enumerate(self.slots):
@@ -512,14 +554,13 @@ class Scheduler(threading.Thread):
         """Single-active-slot prompt-lookup speculation: one dispatch of
         the on-device draft/verify/accept loop emits up to
         LOOKUP_STEPS*(k+1) tokens with zero drafting cost (lookup.cpp
-        fused into serving). Greedy-exact; False -> caller falls back."""
-        import jax
-        import jax.numpy as jnp
-
-        from tpulamm.runtime.speculative import _build_lookup_scan
+        fused into serving). Greedy-exact; False -> caller falls back.
+        The scan launch + host-state update live in
+        Engine.spec_lookup_block so the call MIRRORS under the multi-host
+        serving transport (server.multihost)."""
         eng = self.engine
         slot = self.slots[i]
-        if eng.recurrent or eng.mesh is not None:
+        if eng.recurrent:
             return False
         n = int(eng.n_past[i])
         k = self.LOOKUP_DRAFT
@@ -528,38 +569,67 @@ class Scheduler(threading.Thread):
             return False
         remaining = slot.req.n_predict - slot.n_gen
         budget = min(max(remaining, 1), self.LOOKUP_STEPS * (k + 1))
-        scans = getattr(eng, "_spec_scans", None)
-        if scans is None:
-            scans = eng._spec_scans = {}
-        span = eng._kv_span(budget + 2 * k + 2)
-        key = ("srv-lookup", k, self.LOOKUP_STEPS, span)
-        if key not in scans:
-            scans[key] = _build_lookup_scan(eng, k, self.LOOKUP_STEPS,
-                                            40, True, 1, 4, span_t=span)
-        h = np.full(eng.n_ctx + k + 2, -1, np.int32)
-        h[:n] = slot.hist
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
         stop_eos = not slot.req.params.ignore_eos
-        rows, accs, n_steps, pos, eng.cache = scans[key](
-            eng.params, eng.cache, jnp.asarray(h), jnp.int32(carry),
-            jnp.int32(n), jnp.int32(i), jax.random.PRNGKey(0),
-            jnp.float32(0.0), jnp.int32(eos if stop_eos else -1),
-            jnp.int32(budget))
-        import jax
-        # ONE device->host transfer: four separate np.asarray/int() pulls
-        # cost a tunnel round-trip each (~25 ms apiece)
-        rows, accs, n_steps, pos = jax.device_get((rows, accs, n_steps,
-                                                   pos))
-        n_steps, pos = int(n_steps), int(pos)
+        try:
+            rows, accs, n_steps, pos = eng.spec_lookup_block(
+                i, carry, slot.hist, k, self.LOOKUP_STEPS, budget,
+                eos if stop_eos else -1)
+        except ValueError:
+            return False
         if n_steps == 0:
             return False
-        eng.n_past[i] = pos
-        eng.cell_pos[i, n:pos] = np.arange(n, pos)
         block = [int(t) for r in rows[:n_steps] for t in r if t >= 0]
         slot.hist.append(carry)
         slot.hist.extend(block[:-1])       # block[-1] is the new carry
         with self.metrics.lock:
             self.metrics.spec_blocks += 1
+            self.metrics.spec_drafted += k * n_steps
+            self.metrics.spec_accepted += int(accs[:n_steps].sum())
+        self._emit_generated(i, block)
+        return True
+
+    def _run_draft_block(self, i: int, carry: int) -> bool:
+        """Single-active-slot draft-MODEL speculation (--model-draft,
+        speculative.cpp fused into serving): the attached draft engine
+        proposes, one (1+k) target forward verifies. Greedy requests are
+        output-exact; temperature requests run TRUE speculative sampling
+        (accept iff u <= p/q + residual resample) — every emitted token
+        is distributed as plain sampling, at sum-min(p,q) acceptance.
+        False -> caller falls back."""
+        eng = self.engine
+        slot = self.slots[i]
+        if eng.recurrent or getattr(eng, "draft", None) is None:
+            return False
+        n = int(eng.n_past[i])
+        k = self.DRAFT_K
+        if (len(slot.hist) != n or n + k + 1 > eng.n_ctx
+                or not np.array_equal(eng.cell_pos[i, :n], np.arange(n))):
+            return False
+        p = slot.req.params
+        temp = max(p.temp, 0.0)
+        top_k = p.top_k if temp > 0.0 else 40
+        remaining = slot.req.n_predict - slot.n_gen
+        budget = min(max(remaining, 1), self.DRAFT_STEPS * (k + 1))
+        eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
+        stop_eos = not p.ignore_eos
+        self._block_counter += 1
+        seed = (self._block_counter * 1000003
+                ^ (p.seed + 0x9E3779B9 * (i + 1))) & 0x7FFFFFFF
+        try:
+            rows, accs, n_steps, pos = eng.spec_draft_block(
+                i, carry, slot.hist, k, self.DRAFT_STEPS, temp, top_k,
+                seed, eos if stop_eos else -1, budget)
+        except ValueError:
+            return False
+        if n_steps == 0:
+            return False
+        block = [int(t) for r in rows[:n_steps] for t in r if t >= 0]
+        slot.hist.append(carry)
+        slot.hist.extend(block[:-1])
+        with self.metrics.lock:
+            self.metrics.spec_blocks += 1
+            self.metrics.spec_draft_blocks += 1
             self.metrics.spec_drafted += k * n_steps
             self.metrics.spec_accepted += int(accs[:n_steps].sum())
         self._emit_generated(i, block)
@@ -573,13 +643,10 @@ class Scheduler(threading.Thread):
         runs temperature verify with exact per-token acceptance (sampled
         via Engine._sample_next per slot/position — distribution parity
         with the plain sampled path by construction). False -> caller
-        falls back to plain blocks."""
-        import jax
-        import jax.numpy as jnp
-
-        from tpulamm.runtime.speculative import _build_lookup_scan_multi
+        falls back to plain blocks. Scan launch + host-state update live
+        in Engine.spec_lookup_block_multi (mirrors under multi-host)."""
         eng = self.engine
-        if eng.recurrent or eng.mesh is not None:
+        if eng.recurrent:
             return False
         k = self.LOOKUP_DRAFT
         top_k = 0
@@ -599,62 +666,39 @@ class Scheduler(threading.Thread):
                     or not np.array_equal(eng.cell_pos[i, :n],
                                           np.arange(n))):
                 return False
-        B = eng._b_rows(active) or eng.n_slots
-        eng._assert_b_cover(active, B)
-        scans = getattr(eng, "_spec_scans", None)
-        if scans is None:
-            scans = eng._spec_scans = {}
-        span = eng._kv_span(self.LOOKUP_STEPS * (k + 1) + 2 * k + 2)
-        key = ("srv-lookup-multi", B, k, self.LOOKUP_STEPS, span,
-               greedy, top_k)
-        if key not in scans:
-            scans[key] = _build_lookup_scan_multi(
-                eng, B, k, self.LOOKUP_STEPS, 1, 4, span_t=span,
-                greedy=greedy, top_k=top_k)
-        H = eng.n_ctx + k + 2
-        h = np.full((B, H), -1, np.int32)
-        tok = np.zeros(B, np.int32)
-        pos = np.zeros(B, np.int32)
-        act = np.zeros(B, bool)
-        eosv = np.full(B, -1, np.int32)
-        budgets = np.zeros(B, np.int32)
-        temps = np.zeros(B, np.float32)
         eos = eng.tokenizer.vocab.eos_id if eng.tokenizer else 2
         self._block_counter += 1
         seed = self._block_counter * 1000003
-        for i, carry in active.items():
-            slot = self.slots[i]
-            n = int(eng.n_past[i])
-            h[i, :n] = slot.hist
-            tok[i] = carry
-            pos[i] = n
-            act[i] = True
-            eosv[i] = eos if not slot.req.params.ignore_eos else -1
-            budgets[i] = max(slot.req.n_predict - slot.n_gen, 1)
-            temps[i] = max(slot.req.params.temp, 0.0)
-            seed ^= (slot.req.params.seed + 0x9E3779B9 * (i + 1)) \
-                & 0x7FFFFFFF
-        rows, accs, n_steps, posv, emitted, eng.cache = scans[key](
-            eng.params, eng.cache, jnp.asarray(h), jnp.asarray(tok),
-            jnp.asarray(pos), jnp.asarray(act), jnp.asarray(eosv),
-            jnp.asarray(budgets), jax.random.PRNGKey(seed),
-            jnp.asarray(temps))
-        rows, accs, n_steps, posv, emitted = jax.device_get(
-            (rows, accs, n_steps, posv, emitted))  # one round-trip
-        n_steps = int(n_steps)
+        for i in sorted(active):
+            seed ^= (self.slots[i].req.params.seed
+                     + 0x9E3779B9 * (i + 1)) & 0x7FFFFFFF
+        hists = {i: self.slots[i].hist for i in active}
+        budgets = {i: max(self.slots[i].req.n_predict
+                          - self.slots[i].n_gen, 1) for i in active}
+        eos_ids = {i: (eos if not self.slots[i].req.params.ignore_eos
+                       else -1) for i in active}
+        temps = {i: max(self.slots[i].req.params.temp, 0.0)
+                 for i in active}
+        olds = {i: int(eng.n_past[i]) for i in active}
+        try:
+            rows, accs, n_steps, posv, emitted = \
+                eng.spec_lookup_block_multi(
+                    active, hists, budgets, eos_ids, temps,
+                    seed & 0x7FFFFFFF, k, self.LOOKUP_STEPS, greedy,
+                    top_k)
+        except ValueError:
+            return False
         if n_steps == 0:
             return False
         tot_acc = 0
         for i, carry in active.items():
             slot = self.slots[i]
-            n = int(eng.n_past[i])
-            newpos = int(posv[i])
-            if newpos == n:         # slot never advanced (budget edge)
-                continue
-            eng.n_past[i] = newpos
-            eng.cell_pos[i, n:newpos] = np.arange(n, newpos)
+            if int(posv[i]) == olds[i]:
+                continue            # slot never advanced (budget edge)
             block = [int(t) for r in rows[:n_steps, i] for t in r
                      if t >= 0]
+            if not block:
+                continue
             slot.hist.append(carry)
             slot.hist.extend(block[:-1])   # block[-1] is the new carry
             tot_acc += int(accs[:n_steps, i].sum())
@@ -700,6 +744,18 @@ class Scheduler(threading.Thread):
 
     def run(self):
         while self.running:
+            if self.worker_lost:
+                # degraded multi-host: requests were already failed by
+                # on_worker_lost; tear down slot state and idle (issuing
+                # another SPMD step would hang on the dead worker)
+                for slot in self.slots:
+                    if slot.req is not None:
+                        self.requests.pop(slot.req.rid, None)
+                        slot.req = None
+                        slot.sampler = None
+                        slot.next_tok = None
+                time.sleep(0.05)
+                continue
             self._sweep_cancelled()
             if self._pending_system is not None:
                 # apply when every slot is idle; hold new assignments so
@@ -719,16 +775,28 @@ class Scheduler(threading.Thread):
             if not active:
                 time.sleep(0.002)
                 continue
+            spec_ok = (self.pending.empty()
+                       and all(self.slots[i].sampler.grammar is None
+                               and not self.slots[i].req.stop_strs
+                               and self.slots[i].req.params.n_probs == 0
+                               and self._fast_eligible(
+                                   self.slots[i].req.params)
+                               for i in active))
+            # draft-MODEL speculation (--model-draft): single active
+            # slot, greedy or stochastic (true speculative sampling);
+            # takes precedence over the lookup tier when attached
+            if (spec_ok and len(active) == 1
+                    and getattr(self.engine, "draft", None) is not None):
+                i = next(iter(active))
+                if self._run_draft_block(i, active[i]):
+                    with self.metrics.lock:
+                        self.metrics.fast_blocks += 1
+                    continue
             # greedy active slots: opt-in prompt-lookup speculation
             # (tokens-per-dispatch multiplies by acceptance); one slot
             # runs the proven single-slot loop, several run the batched
             # (B, 1+k) compound-verify loop
-            if (self.lookup_decoding and self.pending.empty()
-                    and all(self.slots[i].sampler.grammar is None
-                            and not self.slots[i].req.stop_strs
-                            and self.slots[i].req.params.n_probs == 0
-                            and self._fast_eligible(self.slots[i].req.params)
-                            for i in active)):
+            if self.lookup_decoding and spec_ok:
                 greedy = all(self.slots[i].req.params.temp <= 0.0
                              for i in active)
                 if greedy and len(active) == 1:
@@ -1118,38 +1186,49 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           started: threading.Event | None = None, tp: int = 1, dp: int = 1,
           cache_type_k="bfloat16", cache_type_v=None,
           lookup_decoding: bool = False, system_prompt: str | None = None,
-          broadcast: tuple[str, int] | None = None):
+          broadcast: tuple[str, int] | None = None,
+          model_draft: str | None = None, heartbeat: float = 5.0):
     """broadcast=(host, port): multi-host serving transport. Process 0
     accepts process_count-1 workers on `port`, wraps the engine so every
     engine call replicates to them, and serves HTTP as usual; worker
     processes connect to process-0's `host:port` and apply the call
     stream (see server.multihost). Every process must reach this function
-    with identical model/mesh arguments."""
+    with identical model/mesh arguments. The speculation tiers replicate
+    too (Engine.spec_* are mirrored methods); a worker heartbeat fails
+    requests loudly within ~`heartbeat` seconds of a worker dying instead
+    of hanging on the next collective."""
     from tpulamm.runtime.engine import Engine
     engine = Engine(model_path, n_ctx=n_ctx, n_slots=n_slots,
                     compute_dtype=compute_dtype, tp=tp, dp=dp,
                     kv_dtype=cache_type_k, kv_dtype_v=cache_type_v)
+    if model_draft:
+        # every process attaches its own draft (tiny model, replicated)
+        engine.attach_draft(Engine(model_draft, n_ctx=n_ctx, n_slots=1,
+                                   compute_dtype=compute_dtype))
+    sched_holder = []
+
+    def _on_worker_lost(idx: int):
+        if sched_holder:
+            sched_holder[0].on_worker_lost(idx)
+
     if broadcast is not None:
         import jax
         from tpulamm.server.multihost import (CallBroadcaster,
                                               MirroredEngine,
                                               connect_worker, worker_loop)
         bhost, bport = broadcast
-        if lookup_decoding:
-            # the lookup tier drives jitted scans directly (not through
-            # Engine methods) and cannot replicate across processes
-            print("multi-host serving: --lookup-decoding disabled",
-                  flush=True)
-            lookup_decoding = False
         if jax.process_index() != 0:
             sock = connect_worker(bhost, bport)
             print(f"worker {jax.process_index()}: applying engine calls "
                   f"from {bhost}:{bport}", flush=True)
-            worker_loop(engine, sock)
+            worker_loop(engine, sock, heartbeat=heartbeat / 4)
             return
-        tx = CallBroadcaster(bport, jax.process_count() - 1)
+        tx = CallBroadcaster(bport, jax.process_count() - 1,
+                             on_worker_lost=_on_worker_lost,
+                             dead_after=heartbeat)
         engine = MirroredEngine(engine, tx)
     sched = Scheduler(engine, n_slots, lookup_decoding=lookup_decoding)
+    sched_holder.append(sched)
     sched.engine = engine
     if system_prompt:
         sched.set_system_prompt(system_prompt)
@@ -1191,6 +1270,15 @@ def main(argv=None):
     p.add_argument("--lookup-decoding", action="store_true",
                    help="single-active-slot prompt-lookup speculation "
                         "(greedy-exact; wins on weight-bound models)")
+    p.add_argument("-md", "--model-draft", default=None,
+                   help="draft model GGUF: single-active-slot draft-model "
+                        "speculation (greedy-exact; temp>0 runs true "
+                        "speculative sampling — accept iff u <= p/q, "
+                        "residual resample)")
+    p.add_argument("--mh-heartbeat", type=float, default=5.0,
+                   help="multi-host: seconds without a worker heartbeat "
+                        "before the worker is declared lost and in-flight "
+                        "requests fail with 503")
     p.add_argument("-spf", "--system-prompt-file", default=None,
                    help="file with a system prompt shared by every slot "
                         "(one prefill + seq_cp fan-out; server.cpp -spf)")
@@ -1221,7 +1309,8 @@ def main(argv=None):
           tp=args.tp, dp=args.dp,
           cache_type_k=args.cache_type_k, cache_type_v=args.cache_type_v,
           lookup_decoding=args.lookup_decoding,
-          system_prompt=system_prompt, broadcast=broadcast)
+          system_prompt=system_prompt, broadcast=broadcast,
+          model_draft=args.model_draft, heartbeat=args.mh_heartbeat)
 
 
 if __name__ == "__main__":

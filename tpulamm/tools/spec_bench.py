@@ -71,7 +71,8 @@ def ensure_models(steps: int, out_dir: str = "tmp_bench", big: bool = False,
 def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
                n_predict: int = 256, drafts=(0, 3, 5, 8), n_ctx: int = 1024,
                lookup: bool = True, tree: bool = False,
-               p_split: float = 0.1, log=print) -> list[dict]:
+               p_split: float = 0.1, temp: float = 0.0,
+               log=print) -> list[dict]:
     from tpulamm.runtime.engine import Engine
     from tpulamm.runtime.speculative import (generate_prompt_lookup_fast,
                                              generate_speculative_fast)
@@ -123,23 +124,43 @@ def bench_pair(tgt_path: str, drf_path: str, corpus: bytes, *,
     for k in drafts:
         if k == 0:
             target.reset_slot(0)
-            target.generate_fast(prompt, n_predict=n_predict, temp=0.0,
+            target.generate_fast(prompt, n_predict=n_predict, temp=temp,
                                  stop_on_eos=False)      # warm compile
             def plain():
                 target.reset_slot(0)
                 out, _ = target.generate_fast(prompt, n_predict=n_predict,
-                                              temp=0.0, stop_on_eos=False)
+                                              temp=temp, stop_on_eos=False)
                 return out, None
             ts, wall, _ = timed(plain)
             row(0, "plain generate_fast", ts, wall, None)
         else:
             generate_speculative_fast(target, draft, prompt,
                                       n_predict=n_predict, n_draft=k,
-                                      temp=0.0, stop_on_eos=False)  # warm
+                                      temp=temp, stop_on_eos=False)  # warm
             ts, wall, st = timed(lambda: generate_speculative_fast(
                 target, draft, prompt, n_predict=n_predict, n_draft=k,
-                temp=0.0, stop_on_eos=False)[::2])
-            row(k, "on-device speculative", ts, wall, st)
+                temp=temp, stop_on_eos=False)[::2])
+            mode = ("on-device speculative stochastic" if temp > 0.0
+                    else "on-device speculative")
+            row(k, mode, ts, wall, st)
+            if temp > 0.0:
+                # A/B the legacy token-match acceptance on the same pair
+                # (speculative.cpp:245-295 vs naive match — PERF.md r4's
+                # 10.7%-acceptance result was this rule)
+                os.environ["TPULAMM_SPEC_TOKEN_MATCH"] = "1"
+                try:
+                    target._spec_scans = {}
+                    generate_speculative_fast(
+                        target, draft, prompt, n_predict=n_predict,
+                        n_draft=k, temp=temp, stop_on_eos=False)  # warm
+                    ts, wall, st = timed(lambda: generate_speculative_fast(
+                        target, draft, prompt, n_predict=n_predict,
+                        n_draft=k, temp=temp, stop_on_eos=False)[::2])
+                    row(k, "on-device speculative token-match", ts, wall,
+                        st)
+                finally:
+                    os.environ.pop("TPULAMM_SPEC_TOKEN_MATCH", None)
+                    target._spec_scans = {}
     if tree:
         from tpulamm.runtime.spec_tree import generate_speculative_tree
         for k in drafts:
@@ -172,6 +193,10 @@ def main(argv=None) -> int:
     p.add_argument("--tree", action="store_true",
                    help="also bench draft-TREE speculation (n_seq_dft 2/4)")
     p.add_argument("--p-split", type=float, default=0.1)
+    p.add_argument("--temp", type=float, default=0.0,
+                   help="sampling temperature: >0 benches STOCHASTIC "
+                        "speculative sampling vs legacy token-match on "
+                        "the same pair")
     p.add_argument("--big", action="store_true",
                    help="use the ~520M weight-streaming-bound target "
                         "(trains it on first use; --steps applies)")
@@ -181,7 +206,7 @@ def main(argv=None) -> int:
     target = args.model or (tgt if args.f32 else tgt_q4)
     rows = bench_pair(target, drf, corpus, n_predict=args.n_predict,
                       lookup=not args.no_lookup, tree=args.tree,
-                      p_split=args.p_split,
+                      p_split=args.p_split, temp=args.temp,
                       drafts=tuple(int(x) for x in args.drafts.split(",")))
     if args.output:
         with open(args.output, "w") as f:

@@ -62,7 +62,10 @@ def main():
     gb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
     cols = 1024
     dt = jnp.float32
-    total_rows = int(gb * 2**30 / (cols * 4) // 512 * 512)
+    # round to a multiple of the LARGEST probed block_rows (2048) so
+    # n_blocks = total_rows // block_rows is exact for every probe and
+    # nbytes matches what the kernel actually reads (advisor r4)
+    total_rows = int(gb * 2**30 / (cols * 4) // 2048 * 2048)
     nbytes = total_rows * cols * 4
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(total_rows, cols)),
@@ -103,6 +106,12 @@ def main():
         slopes = sorted(timed(l2) - timed(l1) for _ in range(5))
         t = slopes[len(slopes) // 2] / 10
         blk_mb = block_rows * cols * 4 / 2**20
+        if t <= 0:
+            # timing noise can push a pair-slope median non-positive on a
+            # loaded host; a negative GB/s figure is garbage (advisor r4)
+            print(f"block_rows={block_rows} ({blk_mb:.0f}MB/step): noisy "
+                  f"(non-positive slope), skipped", flush=True)
+            continue
         print(f"block_rows={block_rows} ({blk_mb:.0f}MB/step): "
               f"{t * 1e3:.2f} ms  {nbytes / t / 1e9:.0f} GB/s "
               f"({nbytes / t / 819e9 * 100:.0f}% of nominal)", flush=True)

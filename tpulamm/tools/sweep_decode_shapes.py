@@ -46,7 +46,10 @@ CANDS = {
                (11008, 1), (22016, 1)],
     "wdown": [(None, None), (4096, 1), (4096, 2), (4096, 4), (2048, 2),
               (2048, 4), (2048, 8), (1024, 8)],
-    "lmhead": [(None, None), (8000, 1), (4000, 2), (2000, 4), (16000, 1),
+    # tn must be a multiple of 128 (kernel tile layout): use
+    # multiple-of-128 divisors of 32000 (advisor r4 — 8000/4000/2000
+    # always FAILed and added noise, not data)
+    "lmhead": [(None, None), (6400, 1), (3200, 2), (1600, 4), (16000, 1),
                (32000, 1)],
 }
 

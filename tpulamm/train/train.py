@@ -61,11 +61,15 @@ def sample_batches(data: np.ndarray, tc: TrainConfig):
 
 def train(params: dict, cfg: ModelConfig, data: np.ndarray,
           tc: TrainConfig, log_every: int = 10, log=print,
-          grad_mask=None, mesh=None):
+          grad_mask=None, mesh=None, batches=None):
     """Optimize params on a token stream; returns (params, losses).
 
     grad_mask: optional pytree of {0,1} matching params — zeroes gradients
     of frozen tensors (used by LoRA finetuning).
+
+    batches: optional generator of (batch_size, seq_len+1) int arrays
+    overriding the default random-window sampler (document-aligned tasks
+    like tools/passkey_train need episode boundaries respected).
 
     mesh: optional ("dp","tp") jax.sharding.Mesh. Dense training shards
     with plain GSPMD annotations (no custom kernels on this path): params
@@ -98,7 +102,8 @@ def train(params: dict, cfg: ModelConfig, data: np.ndarray,
         return optax.apply_updates(p, updates), s, loss
 
     losses = []
-    batches = sample_batches(data, tc)
+    if batches is None:
+        batches = sample_batches(data, tc)
     t0 = time.perf_counter()
     for i in range(tc.n_steps):
         batch = jnp.asarray(next(batches), jnp.int32)
