@@ -25,26 +25,35 @@ import numpy as np
 
 def bench_cfg(model: str, n_ctx: int, flash: bool, kv: str,
               n_gen: int = 256, parity_tokens: bool = False):
+    """tg is measured CONTINUING from the prefilled context
+    (decode_batch_fast on the live slot), so attention really streams the
+    ~n_ctx-token KV span every step. Round-4's version decoded via
+    generate_fast, which RESETS the slot first — its 'decode is flat to
+    16k' numbers measured an empty-context decode in the 512-cell span
+    bucket, a physically impossible rate for a real 16k span (4.3 GB of
+    bf16 KV per step + 3.8 GB of weights at 130 t/s would need >1 TB/s).
+    This bug is why r5's long-context table supersedes r4's."""
     from tpulamm.runtime.engine import Engine
     eng = Engine(model, n_ctx=n_ctx, flash_attn=flash, kv_dtype=kv,
                  n_ubatch=2048)
     rng = np.random.default_rng(0)
     pre = list(rng.integers(3, 1000, n_ctx - n_gen - 44))
     eng.reset_slot(0)
-    t0 = time.perf_counter()
-    eng.prefill(0, pre)                      # includes compile
-    eng.generate_fast([2], n_predict=n_gen, temp=0.0, stop_on_eos=False)
+    lg = eng.prefill(0, pre)                 # includes compile
+    carry = int(np.argmax(lg))
+    eng.decode_batch_fast({0: carry}, n_gen)     # warm at the real span
     pp = tg = 0.0
     toks = None
     for _ in range(2):
         eng.reset_slot(0)
         t0 = time.perf_counter()
-        eng.prefill(0, pre)
+        lg = eng.prefill(0, pre)
         pp = max(pp, len(pre) / (time.perf_counter() - t0))
+        carry = int(np.argmax(lg))
         t0 = time.perf_counter()
-        toks, _ = eng.generate_fast([2], n_predict=n_gen, temp=0.0,
-                                    stop_on_eos=False)
+        blocks = eng.decode_batch_fast({0: carry}, n_gen)
         tg = max(tg, n_gen / (time.perf_counter() - t0))
+        toks = [carry] + blocks[0]
     row = {"n_ctx": n_ctx, "attn": "flash" if flash else "einsum",
            "kv": kv, "pp": pp, "tg": tg}
     if parity_tokens:

@@ -62,46 +62,78 @@ def _tokenizer():
 
 
 def gen_docs(n_docs: int, seq_len: int, tok, seed: int = 0,
-             log=print) -> np.ndarray:
-    """(n_docs, seq_len+1) int32 document-aligned training windows.
+             log=print) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, weights): (n_docs, seq_len+1) int32 windows + f32 loss
+    weights.
 
     Each document is a full passkey episode INCLUDING the answer (the
     model must learn to emit the key after 'The pass key is'); short
     documents are front-padded with newlines so the episode's tail
-    (question + answer) always sits at the window end."""
+    (question + answer) always sits at the window end. The ANSWER tokens
+    carry a 50x loss weight: they are ~10 of ~3000 tokens per window, so
+    under uniform weighting the junk-modelling loss drowns the retrieval
+    gradient (measured: 3000 uniform steps left digit loss at ~0.9 nats
+    while total loss sat at 0.007)."""
     rng = np.random.default_rng(seed)
     nl = tok.encode("\n", add_bos=False)[-1:]        # newline byte token
     docs = np.zeros((n_docs, seq_len + 1), np.int32)
+    wts = np.ones((n_docs, seq_len + 1), np.float32)
     docs[:] = nl[0]
     for d in range(n_docs):
         for _ in range(8):                           # fit attempts
-            # one junk sentence ~ 145 byte tokens; 19 junk ~ 3.0k tokens
-            n_junk = int(rng.integers(3, 20))
+            # one junk sentence ~ 145 byte tokens; 18 junk ~ 2.9k tokens
+            n_junk = int(rng.integers(3, 19))
             pos = int(rng.integers(0, n_junk))
             key = int(rng.integers(1, 50000))
-            text = passkey_prompt(n_junk, pos, key) + f" {key}."
+            # a SECOND quiz+answer doubles the long-range copy
+            # supervision per window (the eval prompt still has one
+            # quiz — the trigger string is identical)
+            body = passkey_prompt(n_junk, pos, key)
+            quiz2 = "\n What is the pass key? The pass key is"
+            ans = f" {key}."
+            text = body + ans + quiz2 + ans
             ids = tok.encode(text, add_bos=True)
             if len(ids) <= seq_len + 1:
                 break
+        # answer token spans (byte-fallback SPM is prefix-stable at the
+        # space boundary before the answer)
+        n0 = len(tok.encode(body, add_bos=True))
+        n1 = len(tok.encode(body + ans, add_bos=True))
+        n2 = len(tok.encode(body + ans + quiz2, add_bos=True))
+        n3 = len(ids)
+        w = np.ones(len(ids), np.float32)
+        w[n0:n1] = 50.0
+        w[n2:n3] = 50.0
         ids = ids[-(seq_len + 1):]
+        w = w[-(seq_len + 1):]
         docs[d, seq_len + 1 - len(ids):] = ids
+        wts[d, seq_len + 1 - len(ids):] = w
         if d and d % 200 == 0:
             log(f"  gen {d}/{n_docs} docs")
-    return docs
+    return docs, wts
 
 
 def train_passkey(out_path: str = MODEL, *, dim=512, n_layers=8, n_heads=8,
-                  n_kv_heads=4, ffn=1408, seq_len=3072, n_steps=1200,
-                  batch_size=4, lr=3e-4, n_docs=1600, log=print) -> str:
+                  n_kv_heads=4, ffn=1408, seq_len=3072, n_steps=3000,
+                  batch_size=8, lr=3e-4, n_docs=3200, log=print) -> str:
     from tpulamm.models.config import ModelConfig
     from tpulamm.ops.rope import RopeParams
     from tpulamm.tools.quality_table import byte_vocab
     from tpulamm.train.model import init_params, save_params_gguf
-    from tpulamm.train.train import TrainConfig, train
+    from tpulamm.train.train import TrainConfig
+
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpulamm.train.model import forward_train
+    from tpulamm.train.train import make_optimizer
 
     tok = _tokenizer()
     log(f"generating {n_docs} passkey docs at seq_len {seq_len}...")
-    docs = gen_docs(n_docs, seq_len, tok, log=log)
+    docs, wts = gen_docs(n_docs, seq_len, tok, log=log)
 
     cfg = ModelConfig(vocab_size=259, dim=dim, n_layers=n_layers,
                       n_heads=n_heads, n_kv_heads=n_kv_heads, ffn_dim=ffn,
@@ -110,20 +142,40 @@ def train_passkey(out_path: str = MODEL, *, dim=512, n_layers=8, n_heads=8,
     params = init_params(cfg, seed=0)
     tc = TrainConfig(lr=lr, batch_size=batch_size, seq_len=seq_len,
                      n_steps=n_steps, warmup_steps=50, seed=0, remat=True)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(params)
 
-    def doc_batches():
-        """Document-aligned sampling (random stream windows would cut
-        episodes apart and the answer would lose its question)."""
-        rng = np.random.default_rng(1)
-        while True:
-            idx = rng.integers(0, len(docs), size=batch_size)
-            yield docs[idx]
+    def loss_fn(p, batch, w):
+        logits = forward_train(p, cfg, batch, remat=True)
+        targets = batch[:, 1:]
+        lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(
+            lp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        ww = w[:, 1:]
+        return (nll * ww).sum() / ww.sum()
 
-    params, losses = train(params, cfg, docs.reshape(-1), tc,
-                           log_every=50, log=log, batches=doc_batches())
+    @jax.jit
+    def step(p, s, batch, w):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch, w)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(n_steps):
+        idx = rng.integers(0, len(docs), size=batch_size)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(docs[idx]),
+                                       jnp.asarray(wts[idx]))
+        losses.append(float(loss))
+        if i % 50 == 0 or i == n_steps - 1:
+            dt = time.perf_counter() - t0
+            log(f"step {i:5d}  loss {losses[-1]:.4f}  "
+                f"({dt / (i + 1):.3f}s/step)")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     save_params_gguf(params, cfg, out_path, vocab=byte_vocab())
-    log(f"saved {out_path} (final loss {losses[-1]:.3f})")
+    log(f"saved {out_path} (final weighted loss {losses[-1]:.3f})")
     return out_path
 
 
@@ -162,9 +214,9 @@ def evaluate(model_path: str, *, n_ctx: int, ga_n: int, ga_w: int,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tpulamm-passkey-train")
     p.add_argument("-o", "--out", default=MODEL)
-    p.add_argument("--steps", type=int, default=1200)
+    p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--seq-len", type=int, default=3072)
-    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("-c", "--ctx-size", type=int, default=8192)
