@@ -176,9 +176,11 @@ def test_int8_dot_exact_on_tpu(qtype, monkeypatch):
     gsum = xg.sum(-1, dtype=np.float64)
 
     wd = np.asarray(dequant_mm(qt, jnp.float32)).T        # (N, K)
-    sw = np.asarray(qt.planes["scales"], np.float64)      # (K/ga, N)
-    mins = (np.asarray(qt.planes["mins"], np.float64)
-            if "mins" in qt.planes else np.zeros_like(sw))
+    from tpulamm.ops.qtensor import mm_scale_planes
+    sw_j, mins_j = mm_scale_planes(qt.planes, qtype)
+    sw = np.asarray(sw_j, np.float64)                     # (K/ga, N)
+    mins = (np.asarray(mins_j, np.float64) if mins_j is not None
+            else np.zeros_like(sw))
     # UNSIGNED integer codes from the dequantized weights (the kernel dots
     # raw codes and folds zero/min into the exact-gsum correction term)
     off = mins - spec.zero * sw                           # (g, N)

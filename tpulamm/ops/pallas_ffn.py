@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpulamm.gguf.constants import GGMLType
 from tpulamm.ops.pallas_qmm import (PLANE_ORDER, PLANE_ROWS, TK,
-                                    _load_scales, _unpack_values)
+                                    _group_scales, _unpack_values)
 from tpulamm.quant.repack import SPECS
 
 
@@ -55,11 +55,12 @@ def _dequant_tile(qtype, plane_refs, kc, tn, k_total, kstep):
                  + kstep * groups)
         return jnp.where(g_row * spec.group < k_total, arr, 0)
 
-    scales = mask(_load_scales(plane_refs["scales"]))
+    sw_raw, mins_raw = _group_scales(qtype, plane_refs, kc, tn)
+    scales = mask(sw_raw)
     w = vals.astype(jnp.float32).reshape(groups, spec.group, tn)
     w = (w - spec.zero) * scales[:, None, :]
     if spec.has_min:
-        w = w + mask(_load_scales(plane_refs["mins"]))[:, None, :]
+        w = w + mask(mins_raw)[:, None, :]
     return w.reshape(kc * TK, tn)
 
 

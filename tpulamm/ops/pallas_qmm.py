@@ -36,11 +36,15 @@ PLANE_ORDER: dict[GGMLType, tuple[str, ...]] = {
     GGMLType.Q5_0: ("qs", "qh", "scales"),
     GGMLType.Q5_1: ("qs", "qh", "scales", "mins"),
     GGMLType.Q8_0: ("q8", "scales"),
-    GGMLType.Q2_K: ("q2", "scales", "mins"),
+    # Q2_K keeps its sub-scales COMPACT in HBM (raw scale bytes + fp16
+    # d/dmin bits, decoded in-kernel): dense f32 per-16 scale/min planes
+    # cost 0.5 B/elem on top of the 0.25 B/elem crumbs — 2.3x the format's
+    # file size, which is exactly the capacity Q2_K exists to save
+    GGMLType.Q2_K: ("q2", "scd", "dm"),
 }
 
 # rows of each plane per TK=256 K-chunk
-PLANE_ROWS = {"qs": 128, "qh": 32, "q2": 64, "q8": 256}
+PLANE_ROWS = {"qs": 128, "qh": 32, "q2": 64, "q8": 256, "scd": 16, "dm": 8}
 
 
 def _f16_decode(u16: jnp.ndarray) -> jnp.ndarray:
@@ -63,12 +67,35 @@ def _f16_decode(u16: jnp.ndarray) -> jnp.ndarray:
 
 
 def _load_scales(ref) -> jnp.ndarray:
-    """Scale/min plane ref -> f32 tile (planes are u16-bitcast fp16, or
-    f32 for Q2_K)."""
+    """Scale/min plane ref -> f32 tile (planes are u16-bitcast fp16 or
+    f32)."""
     v = ref[:]
     if v.dtype == jnp.uint16:
         return _f16_decode(v)
     return v.astype(jnp.float32)
+
+
+def _group_scales(qtype: GGMLType, plane_refs: dict, kc: int, tn: int):
+    """-> (scales (groups, tn) f32, mins (groups, tn) f32 | None).
+
+    Q2_K decodes its compact planes here: scale = d * (scd & 0xF),
+    min = -dmin * (scd >> 4) — per-GROUP work (1/16 element density), so
+    the decode is cheap while the HBM stream stays at the format's own
+    byte count. Other formats read their dense scale/min planes."""
+    if qtype == GGMLType.Q2_K:
+        scd = plane_refs["scd"][:].astype(jnp.int32)      # (16kc, tn)
+        dm = _f16_decode(plane_refs["dm"][:])             # (8kc, tn)
+        dm3 = dm.reshape(kc, 8, tn)
+        d = dm3[:, :1, :]                                 # (kc, 1, tn)
+        dmin = dm3[:, 1:2, :]
+        sc3 = scd.reshape(kc, 16, tn)
+        scales = (sc3 & 0xF).astype(jnp.float32) * d
+        mins = (sc3 >> 4).astype(jnp.float32) * (-dmin)
+        return scales.reshape(kc * 16, tn), mins.reshape(kc * 16, tn)
+    scales = _load_scales(plane_refs["scales"])
+    mins = (_load_scales(plane_refs["mins"])
+            if "mins" in plane_refs else None)
+    return scales, mins
 
 
 def _unpack_values(qtype: GGMLType, planes: dict[str, jnp.ndarray],
@@ -211,7 +238,8 @@ def _make_int8_kernel(qtype: GGMLType, tn: int, kc: int, k_total: int):
                   + kstep * groups)
             return jnp.where(gr * gw < k_total, arr, 0)
 
-        sw = tail_mask(_load_scales(plane_refs["scales"]), 0)  # (groups, tn)
+        sw_raw, mins_raw = _group_scales(qtype, plane_refs, kc, tn)
+        sw = tail_mask(sw_raw, 0)                              # (groups, tn)
         qv = _unpack_values_i8(qtype, plane_refs, kc, tn)      # (tk, tn) i8
         qv3 = qv.reshape(groups, gw, tn)
         idot = jax.lax.dot_general(
@@ -223,7 +251,7 @@ def _make_int8_kernel(qtype: GGMLType, tn: int, kc: int, k_total: int):
         if corr:
             off = -spec.zero * sw
             if spec.has_min:
-                off = off + tail_mask(_load_scales(plane_refs["mins"]), 0)
+                off = off + tail_mask(mins_raw, 0)
             g = tail_mask(gsum_ref[:], 0)                      # (groups, M)
             part = part + jax.lax.dot_general(
                 g, off, (((0,), (0,)), ((), ())),
@@ -367,7 +395,8 @@ def _make_int8_kernel_inkq(qtype: GGMLType, tn: int, kc: int,
                         (g_pad - g_all, m), jnp.float32)
 
         q = qx_scr[pl.ds(kstep * groups, groups)]          # (g, gw, m)
-        sw = tail_mask(_load_scales(plane_refs["scales"]), 0)  # (g, tn)
+        sw_raw, mins_raw = _group_scales(qtype, plane_refs, kc, tn)
+        sw = tail_mask(sw_raw, 0)                          # (g, tn)
         qv = _unpack_values_i8(qtype, plane_refs, kc, tn)      # (tk, tn)
         qv3 = qv.reshape(groups, gw, tn)
         idot = jax.lax.dot_general(
@@ -379,7 +408,7 @@ def _make_int8_kernel_inkq(qtype: GGMLType, tn: int, kc: int,
         if corr:
             off = -spec.zero * sw
             if spec.has_min:
-                off = off + tail_mask(_load_scales(plane_refs["mins"]), 0)
+                off = off + tail_mask(mins_raw, 0)
             gsum = gs_scr[pl.ds(kstep * groups, groups)]   # (g, m)
             part = part + jax.lax.dot_general(
                 gsum, off, (((0,), (0,)), ((), ())),
@@ -496,29 +525,29 @@ def _make_kernel(qtype: GGMLType, compute_dtype, tn: int, kc: int,
                      + kstep * groups)
             return jnp.where(g_row * spec.group < k_total, arr, 0)
 
+        sw_raw, mins_raw = _group_scales(qtype, plane_refs, kc, tn)
         if fast:
             # int8-density unpack; single widening convert; fold the constant
             # zero-point into the per-group offset so dequant is one FMA:
             # w = q*s + (m - zero*s)
             vals = _unpack_values_i8(qtype, plane_refs, kc, tn)
             q = vals.astype(compute_dtype).reshape(groups, spec.group, tn)
-            # scale planes are fp16-as-u16 (f32 for Q2_K); decode to f32,
+            # scale planes are fp16-as-u16 (Q2_K: decoded compact planes);
             # fold the offset in f32
-            s = tail_mask_groups(_load_scales(plane_refs["scales"]))
+            s = tail_mask_groups(sw_raw)
             off = -spec.zero * s
             if spec.has_min:
-                off = off + tail_mask_groups(_load_scales(plane_refs["mins"]))
+                off = off + tail_mask_groups(mins_raw)
             w = q * s.astype(compute_dtype)[:, None, :] \
                 + off.astype(compute_dtype)[:, None, :]
             w = w.reshape(tk, tn)
         else:
             vals = _unpack_values(qtype, plane_refs, kc, tn, jnp.int32)
-            scales = tail_mask_groups(_load_scales(plane_refs["scales"]))
+            scales = tail_mask_groups(sw_raw)
             w = vals.astype(jnp.float32).reshape(groups, spec.group, tn)
             w = (w - spec.zero) * scales[:, None, :]
             if spec.has_min:
-                w = w + tail_mask_groups(
-                    _load_scales(plane_refs["mins"]))[:, None, :]
+                w = w + tail_mask_groups(mins_raw)[:, None, :]
             w = w.reshape(tk, tn).astype(compute_dtype)
 
         x = x_ref[:].astype(compute_dtype)                # (M, tk)

@@ -52,7 +52,9 @@ class QTensor:
         field: inside shard_map the planes are per-device shards while
         `shape` stays global, and the matmul paths must follow the data."""
         assert self.layout == "mm"
-        s = self.planes["scales"]
+        s = self.planes.get("scales")
+        if s is None:                       # Q2_K compact layout
+            s = self.planes["scd"]
         return s.shape[1], s.shape[0] * self.spec.group
 
     @property
@@ -144,17 +146,35 @@ def unpack_mm_values(qt_planes: dict, qtype: GGMLType, k: int) -> jnp.ndarray:
     raise ValueError(qtype)
 
 
+def mm_scale_planes(planes: dict, qtype: GGMLType):
+    """-> (scales (K/g, N) f32, mins | None) from mm planes, decoding
+    Q2_K's compact scd/dm form (scale = d*(b&0xF), min = -dmin*(b>>4))."""
+    if qtype == GGMLType.Q2_K and "scd" in planes:
+        scd = jnp.asarray(planes["scd"]).astype(jnp.int32)    # (K/16, N)
+        dm = jax.lax.bitcast_convert_type(
+            jnp.asarray(planes["dm"]), jnp.float16).astype(jnp.float32)
+        ng, n = scd.shape
+        dm3 = dm.reshape(ng // 16, 8, n)
+        d = jnp.repeat(dm3[:, 0], 16, axis=0)                 # (K/16, N)
+        dmin = jnp.repeat(dm3[:, 1], 16, axis=0)
+        return ((scd & 0xF).astype(jnp.float32) * d,
+                (scd >> 4).astype(jnp.float32) * (-dmin))
+    scales = jnp.asarray(planes["scales"]).astype(jnp.float32)
+    mins = (jnp.asarray(planes["mins"]).astype(jnp.float32)
+            if "mins" in planes else None)
+    return scales, mins
+
+
 def dequant_mm(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     """mm-layout QTensor -> dense (K, N) array (reference/CPU path)."""
     n, k = qt.mm_dims
     spec = qt.spec
     vals = unpack_mm_values(qt.planes, qt.qtype, k).astype(jnp.float32)
-    scales = jnp.repeat(qt.planes["scales"].astype(jnp.float32),
-                        spec.group, axis=0)
+    sc, mn = mm_scale_planes(qt.planes, qt.qtype)
+    scales = jnp.repeat(sc, spec.group, axis=0)
     w = (vals - spec.zero) * scales
     if spec.has_min:
-        w = w + jnp.repeat(qt.planes["mins"].astype(jnp.float32),
-                           spec.group, axis=0)
+        w = w + jnp.repeat(mn, spec.group, axis=0)
     return w.astype(dtype)
 
 

@@ -17,12 +17,22 @@ contraction dim, N the output dim; all planes have N on the last/lane axis):
   q2      uint8 (K/4, N)   (Q2_K) crumbs: byte at row 64c + s holds crumb t =
                            element 256c + s + 64t  (shift 2t)
   q8      int8  (K, N)     (Q8_0) plain transposed int8
-  scales  f32   (K/g, N)   per-group scale (g=32; Q2_K g=16, effective
-                           d*sc). TPULAMM_F16_SCALES=1 stores fp16
-                           (lossless vs disk) — see _narrow_scales for
-                           why f32 is the measured default on v5e.
-  mins    f32   (K/g, N)   (Q4_1/Q5_1: m; Q2_K: effective dmin*mn,
-                           negated at use site)
+  scales  f32   (K/g, N)   per-group scale (g=32; not Q2_K).
+                           TPULAMM_F16_SCALES=1 stores fp16 (lossless vs
+                           disk) — see _narrow_scales for why f32 is the
+                           measured default on v5e.
+  mins    f32   (K/g, N)   (Q4_1/Q5_1: m)
+  scd     uint8 (K/16, N)  (Q2_K) the RAW GGUF scale byte of group g:
+                           (sc & 0xF) | (mn << 4); decoded in-kernel as
+                           scale = d*(b&0xF), min = -dmin*(b>>4). Dense
+                           f32 effective scales would inflate Q2_K's
+                           device bytes from 0.33 to 0.75 B/elem — 2.3x
+                           the FILE size, the difference between a 30B
+                           fitting one 16 GB chip and OOM.
+  dm      uint16 (8K/256, N)  (Q2_K) fp16 BITS of the super-block scales:
+                           row 8c = d, row 8c+1 = dmin of chunk c, rows
+                           8c+2..8c+7 zero (sublane padding: Mosaic block
+                           shapes need row counts divisible by 8)
 
 rows layout (row-major, used for quantized embedding-table gather):
 
@@ -187,26 +197,52 @@ def _mm_crumb_plane(vals: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(byte.transpose(1, 2, 0).reshape(k // 4, n))
 
 
+def _q2k_compact_scale_planes(raw: np.ndarray, k: int) -> dict[str, np.ndarray]:
+    """Q2_K mm scale planes in COMPACT form (see module docstring)."""
+    n = raw.shape[0]
+    nb = k // 256
+    blk = raw.reshape(n, nb, 84)
+    scd = blk[..., 0:16]                                 # (N, nb, 16)
+    dm2 = np.ascontiguousarray(blk[..., 80:84]).view(np.uint16)  # (N, nb, 2)
+    dm = np.zeros((n, nb, 8), np.uint16)
+    dm[..., :2] = dm2
+    return {
+        "scd": np.ascontiguousarray(
+            scd.reshape(n, -1).T),                       # (K/16, N) u8
+        "dm": np.ascontiguousarray(
+            dm.reshape(n, -1).T),                        # (8K/256, N) u16
+    }
+
+
 def repack_mm(raw: np.ndarray, qtype: GGMLType, k: int) -> dict[str, np.ndarray]:
     """GGUF rows (N, row_bytes) -> mm-layout planes for the matmul kernels."""
     spec = SPECS[qtype]
     if k % 256 != 0:
         raise ValueError(f"mm repack needs K % 256 == 0, got {k}")
+    if qtype == GGMLType.Q2_K:
+        # compact scale planes; the crumb plane still comes from the
+        # (threaded) native path when available
+        raw = raw.reshape(raw.shape[0], -1)
+        from tpulamm.quant import native
+        out = native.repack(raw, qtype, k, "mm")
+        if out is None:
+            vals, _, _ = extract_ints(raw, qtype, k)
+            out = {"q2": _mm_crumb_plane(vals)}
+        else:
+            out = {"q2": out["q2"]}
+        out.update(_q2k_compact_scale_planes(raw, k))
+        return out
     from tpulamm.quant import native
     out = native.repack(raw, qtype, k, "mm")
     if out is not None:
         return _narrow_scales(out, qtype)
     vals, scales, mins = extract_ints(raw, qtype, k)
-    if qtype == GGMLType.Q2_K:
-        mins = -mins
     out: dict[str, np.ndarray] = {}
     if spec.bits == 4:
         out["qs"] = _mm_nibble_plane(vals)
     elif spec.bits == 5:
         out["qs"] = _mm_nibble_plane(vals & 0x0F)
         out["qh"] = _mm_hbit_plane(vals)
-    elif spec.bits == 2:
-        out["q2"] = _mm_crumb_plane(vals)
     elif spec.bits == 8:
         out["q8"] = np.ascontiguousarray(vals.T)
     out["scales"] = np.ascontiguousarray(scales.T.astype(np.float32))

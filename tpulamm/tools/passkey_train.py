@@ -180,7 +180,8 @@ def train_passkey(out_path: str = MODEL, *, dim=512, n_layers=8, n_heads=8,
 
 
 def evaluate(model_path: str, *, n_ctx: int, ga_n: int, ga_w: int,
-             trials: int, n_junk: int, seed: int = 0, log=print) -> dict:
+             trials: int, n_junk: int, seed: int = 0,
+             pos_frac: float = 1.0, log=print) -> dict:
     """Retrieval accuracy through the REAL engine path (cli/passkey
     semantics: grouped-attention self-extend position surgery during
     prefill, greedy decode of the answer)."""
@@ -193,7 +194,11 @@ def evaluate(model_path: str, *, n_ctx: int, ga_n: int, ga_w: int,
     hits = 0
     for t in range(trials):
         key = int(rng.integers(1, 50000))
-        pos = int(rng.integers(0, n_junk))
+        # pos_frac < 1 pins the plant to the EARLY fraction of the junk:
+        # late plants sit within the trained relative distance where
+        # plain RoPE extrapolation still retrieves — only long-distance
+        # plants discriminate self-extend from the broken baseline
+        pos = int(rng.integers(0, max(1, int(n_junk * pos_frac))))
         prompt = passkey_prompt(n_junk, pos, key)
         n_tok = len(engine.tokenizer.encode(prompt, special=True))
         engine.reset_slot(0)
@@ -226,6 +231,9 @@ def main(argv=None) -> int:
     p.add_argument("--n-junk", type=int, default=50,
                    help="junk sentences per eval prompt (50 ~ 7.5k byte "
                         "tokens, the 8k regime; one sentence ~ 145 toks)")
+    p.add_argument("--pos-frac", type=float, default=1.0,
+                   help="plant the key only in the first FRAC of the "
+                        "junk (0.3 = long-distance retrieval only)")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
@@ -236,7 +244,7 @@ def main(argv=None) -> int:
         return 0
     res = evaluate(args.out, n_ctx=args.ctx_size, ga_n=args.grp_attn_n,
                    ga_w=args.grp_attn_w, trials=args.trials,
-                   n_junk=args.n_junk)
+                   n_junk=args.n_junk, pos_frac=args.pos_frac)
     if args.json:
         import json
         with open(args.json, "w") as f:
