@@ -159,7 +159,34 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     q = apply_rope(q, positions, cfg.rope)
     k = apply_rope(k, positions, cfg.rope)
 
-    cache = write_kv(cache, layer_idx, k, v, slots, cells, positions, segs)
+    # flash-decode dispatch must be DECIDED BEFORE the KV write: the
+    # split-S kernel needs the write to be a dynamic_update_slice (a
+    # scatter feeding the pallas custom call makes XLA materialize a
+    # full K/V copy per layer — measured 782 vs 141 us at S=8192), while
+    # the einsum path prefers the fused scatter (the DUS form costs it
+    # ~200 MB of extra peak liveness at tight 8k configs). The einsum/
+    # flash choice below re-derives the same predicate.
+    import os as _os
+    _group = cfg.n_heads // cfg.n_kv_heads
+    _S_pre = cache.k[layer_idx].shape[2]
+    if kv_span is not None and kv_span < _S_pre:
+        _S_pre = kv_span
+    _fd_env = _os.environ.get("TPULAMM_FLASH_DECODE", "")
+    _small_q = T * _group < 64
+    _fd_auto = (jax.default_backend() == "tpu" and _small_q
+                and (_S_pre >= 8192
+                     or (_S_pre >= 6144 and T * _group >= 8))
+                and _fd_env != "0")
+    if _fd_env == "1" and _small_q:
+        _fd_auto = True
+    _fd_on = (_small_q and _fd_env != "0"
+              and segs is None and cfg.max_alibi_bias == 0.0
+              and hd in (64, 128, 256)
+              and (cfg.flash_attn if cfg.flash_attn is not None
+                   else _fd_auto))
+
+    cache = write_kv(cache, layer_idx, k, v, slots, cells, positions, segs,
+                     prefer_dus=_fd_on)
 
     def crow(arr):
         """slots=None batch contract: the batch covers the FIRST B cache
@@ -215,14 +242,13 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
     # per tiny tile. TPULAMM_FLASH_DECODE=0 keeps decode off flash
     # entirely; =1 forces split-S decode at any S (A/B).
     import os
-    fd_env = os.environ.get("TPULAMM_FLASH_DECODE", "")
-    small_q = T * group < 64                     # decode-regime rows
-    auto = jax.default_backend() == "tpu" and (
+    fd_env = _fd_env
+    small_q = _small_q                           # decode-regime rows
+    # _fd_on was decided BEFORE write_kv (the DUS-vs-scatter choice
+    # depends on it); prefill keeps its own thresholds
+    auto = _fd_on or (jax.default_backend() == "tpu" and (
         (T >= 64 and S_cache >= 1024)
-        or (small_q and S_cache >= 8192 and fd_env != "0")
-        or (S_cache >= 6144 and T * group >= 8))
-    if fd_env == "1" and small_q:
-        auto = True
+        or (S_cache >= 6144 and T * group >= 8)))
     # quantized (q8_0) caches work on BOTH paths: einsum folds the per-row
     # scales into the score/prob tensors; the flash kernel folds them
     # in-kernel (ks into score columns, vs into p) — either way the cache
@@ -247,13 +273,16 @@ def attention(layer: Params, cfg: ModelConfig, h: jnp.ndarray,
             sc = (crow(planes[layer_idx]) if slots is None
                   else planes[layer_idx][slots])
             return sc[:, :, :S_cache]
-        attn_fn = flash_decode if small_q and fd_env != "0" \
-            else flash_attention
+        use_fd = _fd_on or (small_q and fd_env != "0")
+        kw = {}
+        if use_fd and os.environ.get("TPULAMM_FD_CHUNK"):
+            kw["s_chunk"] = int(os.environ["TPULAMM_FD_CHUNK"])
+        attn_fn = flash_decode if use_fd else flash_attention
         o = attn_fn(qf, kc, vc, kpos, qbase, qlen,
                     scp(cache.ks), scp(cache.vs),
                     scale=float(1.0 / math.sqrt(hd)), g=group,
                     causal=cfg.causal,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu", **kw)
         o = o.reshape(B, cfg.n_kv_heads, T, group, hd) \
              .transpose(0, 2, 1, 3, 4)
         o = o.reshape(B, T, cfg.n_heads * hd).astype(cfg.cdtype)

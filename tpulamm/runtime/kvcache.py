@@ -266,7 +266,8 @@ def defrag(cache: KVCache) -> KVCache:
 def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
              v_new: jnp.ndarray, slots: jnp.ndarray,
              cells: jnp.ndarray, positions: jnp.ndarray,
-             segs: jnp.ndarray | None = None) -> KVCache:
+             segs: jnp.ndarray | None = None,
+             prefer_dus: bool = False) -> KVCache:
     """Store roped K / V for a ubatch (llm_build_kv_store equivalent).
 
     k_new/v_new: (B, T, H_kv, D); slots: (B,) slot ids, or None when the
@@ -275,37 +276,75 @@ def write_kv(cache: KVCache, layer: int, k_new: jnp.ndarray,
     indices to write; positions: (B, T) token positions (-1 entries are
     padding and are skipped via position -1 == empty).
     """
-    if slots is None:
-        slots = jnp.arange(k_new.shape[0], dtype=jnp.int32)
-    b_idx = slots[:, None]
+    B, T = k_new.shape[0], k_new.shape[1]
     H = k_new.shape[2]
-    # cache layout is (B, H, S, D): index all three leading dims so the
-    # advanced indices stay adjacent (broadcast to (B, H, T))
-    b3 = slots[:, None, None]                    # (B, 1, 1)
-    h3 = jnp.arange(H, dtype=jnp.int32)[None, :, None]   # (1, H, 1)
-    c3 = cells[:, None, :]                       # (B, 1, T)
     kT = k_new.transpose(0, 2, 1, 3)                      # (B, H, T, D)
     vT = v_new.transpose(0, 2, 1, 3)
     k = list(cache.k)
     v = list(cache.v)
     ks = None if cache.ks is None else list(cache.ks)
     vs = None if cache.vs is None else list(cache.vs)
+
+    # T==1 decode hot path: per-row dynamic_update_slice instead of an
+    # advanced-index scatter. XLA materializes a FULL K/V copy when a
+    # scatter result feeds a pallas custom call (measured: 782 vs 141 us
+    # per layer at S=8192 — the whole flash-decode win drowned in copies;
+    # the einsum path fuses the scatter and never paid). Padding rows
+    # target the trash cell (cells == n_ctx), which a 1-token update fits
+    # exactly (cache S = n_ctx + 1) — no OOB clamping can clobber live
+    # cells. B is a static bound (<= n_slots); cap the unrolled row loop
+    # at 16 to keep the op count sane on wide serving engines.
+    # prefer_dus: the consumer is the flash-decode pallas kernel, which
+    # pays a full per-layer K/V copy if the write is a scatter; the
+    # einsum path prefers the fused scatter (DUS costs it ~200 MB peak
+    # at tight configs). TPULAMM_KV_SCATTER=1 forces scatter for A/B.
+    import os
+    use_dus = (prefer_dus and slots is None and T == 1 and B <= 16
+               and not os.environ.get("TPULAMM_KV_SCATTER"))
+
+    def dus_rows(buf, upd):
+        """upd (B, H, 1, D) or (B, H, 1) -> in-place row updates."""
+        for b in range(B):
+            start = (b, 0, cells[b, 0]) + (0,) * (buf.ndim - 3)
+            buf = jax.lax.dynamic_update_slice(buf, upd[b:b + 1], start)
+        return buf
+
+    def store(buf, upd):
+        if use_dus:
+            return dus_rows(buf, upd)
+        sl = (jnp.arange(B, dtype=jnp.int32) if slots is None else slots)
+        b3 = sl[:, None, None]                   # (B, 1, 1)
+        h3 = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        c3 = cells[:, None, :]                   # (B, 1, T)
+        return buf.at[b3, h3, c3].set(upd)
+
     if ks is not None:
         qk, sk = q8_quantize(kT)
-        k[layer] = k[layer].at[b3, h3, c3].set(qk)
-        ks[layer] = ks[layer].at[b3, h3, c3].set(sk)
+        k[layer] = store(k[layer], qk)
+        ks[layer] = store(ks[layer], sk)
     else:
-        k[layer] = k[layer].at[b3, h3, c3].set(kT.astype(k[layer].dtype))
+        k[layer] = store(k[layer], kT.astype(k[layer].dtype))
     if vs is not None:
         qv, sv = q8_quantize(vT)
-        v[layer] = v[layer].at[b3, h3, c3].set(qv)
-        vs[layer] = vs[layer].at[b3, h3, c3].set(sv)
+        v[layer] = store(v[layer], qv)
+        vs[layer] = store(vs[layer], sv)
     else:
-        v[layer] = v[layer].at[b3, h3, c3].set(vT.astype(v[layer].dtype))
+        v[layer] = store(v[layer], vT.astype(v[layer].dtype))
     if layer != 0:
         pos, seg = cache.pos, cache.seg
     else:
-        pos = cache.pos.at[b_idx, cells].set(positions)
-        seg = cache.seg.at[b_idx, cells].set(
-            segs if segs is not None else jnp.zeros_like(positions))
+        segv = segs if segs is not None else jnp.zeros_like(positions)
+        if use_dus:
+            pos, seg = cache.pos, cache.seg
+            for b in range(B):
+                st = (b, cells[b, 0])
+                pos = jax.lax.dynamic_update_slice(
+                    pos, positions[b:b + 1], st)
+                seg = jax.lax.dynamic_update_slice(seg, segv[b:b + 1], st)
+        else:
+            sl = (jnp.arange(B, dtype=jnp.int32) if slots is None
+                  else slots)
+            b_idx = sl[:, None]
+            pos = cache.pos.at[b_idx, cells].set(positions)
+            seg = cache.seg.at[b_idx, cells].set(segv)
     return KVCache(k=k, v=v, pos=pos, seg=seg, ks=ks, vs=vs)
