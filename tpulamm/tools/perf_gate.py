@@ -8,8 +8,13 @@ caught by manually re-running benches).
     python -m tpulamm.tools.perf_gate                # matmul gate only
     python -m tpulamm.tools.perf_gate -m model.gguf  # + decode gate
 
-Floors are deliberately ~25% under the measured medians to stay outside
-the run-to-run noise band (PERF.md: ±15-20%).
+Floors sit 15% under the round-5 measured medians. The r5 measurement
+hardening (interleaved median-of-9 pair slopes over a 400-step spread —
+the old 40-step spread lived inside the tunnel's ms-scale jitter and
+produced the "±15-20% band" that forced 25-40% floor margins) makes the
+per-format ordering stable and physical (monotone in unpack complexity:
+q4_0 > q8_0 > q4_1 > q5_0 > q5_1 > q2_k > f32), so a 15% margin now
+catches regressions the old floors would have waved through.
 """
 
 from __future__ import annotations
@@ -20,21 +25,18 @@ import subprocess
 import sys
 import time
 
-# measured medians (PERF.md): flagship matmul ~118-130k GFLOPS, tg256 ~590
-FLOOR_MATMUL_GFLOPS = 85_000.0
+# r5 medians: flagship 119.3k GFLOPS, 7B-shape tg256 via --model
+FLOOR_MATMUL_GFLOPS = 100_000.0
 FLOOR_TG256 = 450.0
 
-# Per-format floors = min(round-2, round-4 sweep) minus a wide margin
-# (flagship x0.6, tg x0.75): the flagship slope ordering scrambles inside
-# the +-15-20% variance band, so floors must sit under BOTH sweeps.
-# Measured pairs in PERF.md (r2 table / r4 refresh).
+# = round-5 hardened-measurement medians x 0.85
 FLOOR_FMT_GFLOPS = {
-    "f32": 50_000, "q4_0": 70_000, "q4_1": 55_000, "q5_0": 66_000,
-    "q5_1": 64_000, "q8_0": 65_000, "q2_k": 65_000,
+    "f32": 73_000, "q4_0": 99_000, "q4_1": 94_000, "q5_0": 85_000,
+    "q5_1": 83_000, "q8_0": 96_000, "q2_k": 79_000,
 }
 FLOOR_FMT_TG256 = {
-    "q4_0": 420.0, "q4_1": 389.0, "q5_0": 324.0, "q5_1": 287.0,
-    "q8_0": 370.0, "q2_k": 293.0,
+    "q4_0": 607.0, "q4_1": 481.0, "q5_0": 466.0, "q5_1": 429.0,
+    "q8_0": 431.0, "q2_k": 330.0,
 }
 
 
